@@ -1,0 +1,406 @@
+"""Flax layer library for NCSN++ (channels-last / NHWC, TPU-native).
+
+Capability parity with the reference's layer stack:
+  * GaussianFourierProjection, Combine, AttnBlockpp, Upsample, Downsample,
+    ResnetBlockDDPMpp, ResnetBlockBigGANpp — models/ncsnpp_utils/layerspp.py
+  * NIN, default_init (variance-scaling fan_avg uniform), sinusoidal
+    timestep embedding, activations — models/ncsnpp_utils/layers.py
+  * StyleGAN2 fused up/down Conv2d — models/ncsnpp_utils/up_or_down_sampling.py:20-60
+
+TPU-first redesign:
+  * All tensors are NHWC (batch, freq, frames, channels); convolutions use
+    flax.linen.Conv which lowers to XLA NHWC convs (best TPU layout).
+  * The full-grid self-attention einsum `bchw,bcij->bhwij`
+    (layerspp.py:83-87) is rewritten as two (HW, HW) MXU matmuls.
+  * FIR resampling routes through ops.upfirdn2d (one fused XLA conv, Pallas
+    fast path when available) with data_format="NHWC".
+"""
+from __future__ import annotations
+
+import math
+from typing import Callable, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import resampling
+
+Array = jax.Array
+
+
+def default_init(scale: float = 1.0):
+    """DDPM initializer: variance scaling, fan_avg, uniform
+    (layers.py:63-102)."""
+    scale = 1e-10 if scale == 0 else scale
+    return nn.initializers.variance_scaling(scale, "fan_avg", "uniform")
+
+
+def get_act(name: str) -> Callable[[Array], Array]:
+    """Activation registry (layers.py:29-41)."""
+    return {
+        "elu": jax.nn.elu,
+        "relu": jax.nn.relu,
+        "lrelu": lambda x: jax.nn.leaky_relu(x, 0.2),
+        "swish": jax.nn.silu,
+        "silu": jax.nn.silu,
+    }[name]
+
+
+def get_timestep_embedding(
+    timesteps: Array, embedding_dim: int, max_positions: int = 10000
+) -> Array:
+    """Sinusoidal positional embedding (layers.py:645-661)."""
+    half_dim = embedding_dim // 2
+    emb = math.log(max_positions) / (half_dim - 1)
+    emb = jnp.exp(jnp.arange(half_dim, dtype=jnp.float32) * -emb)
+    emb = timesteps.astype(jnp.float32)[:, None] * emb[None, :]
+    emb = jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=1)
+    if embedding_dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+class GaussianFourierProjection(nn.Module):
+    """Gaussian Fourier features for noise levels (layerspp.py:32-41).
+
+    W is a frozen random projection (requires_grad=False in the reference);
+    here it is a parameter wrapped in stop_gradient so its cotangent is zero.
+    """
+
+    embedding_size: int = 256
+    scale: float = 1.0
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        W = self.param(
+            "W",
+            nn.initializers.normal(stddev=self.scale),
+            (self.embedding_size,),
+        )
+        W = jax.lax.stop_gradient(W)
+        x_proj = x[:, None] * W[None, :] * 2 * jnp.pi
+        return jnp.concatenate([jnp.sin(x_proj), jnp.cos(x_proj)], axis=-1)
+
+
+class NIN(nn.Module):
+    """1x1 'network-in-network' channel mix (layers.py:678-689)."""
+
+    num_units: int
+    init_scale: float = 0.1
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        # channels-last: a plain contraction on the last axis
+        W = self.param(
+            "W", default_init(self.init_scale), (x.shape[-1], self.num_units)
+        )
+        b = self.param("b", nn.initializers.zeros, (self.num_units,))
+        return x @ W + b
+
+
+def conv1x1(
+    features: int,
+    init_scale: float = 1.0,
+    use_bias: bool = True,
+    name: str | None = None,
+) -> nn.Conv:
+    """1x1 conv with DDPM init (layers.py:652-659)."""
+    return nn.Conv(
+        features,
+        (1, 1),
+        kernel_init=default_init(init_scale),
+        bias_init=nn.initializers.zeros,
+        use_bias=use_bias,
+        name=name,
+    )
+
+
+def conv3x3(
+    features: int,
+    stride: int = 1,
+    init_scale: float = 1.0,
+    use_bias: bool = True,
+    dilation: int = 1,
+    name: str | None = None,
+) -> nn.Conv:
+    """3x3 conv, stride/dilation optional, DDPM init (layers.py:681-696)."""
+    return nn.Conv(
+        features,
+        (3, 3),
+        strides=(stride, stride),
+        kernel_dilation=(dilation, dilation),
+        padding=((dilation, dilation), (dilation, dilation)),
+        kernel_init=default_init(init_scale),
+        bias_init=nn.initializers.zeros,
+        use_bias=use_bias,
+        name=name,
+    )
+
+
+def group_norm(channels: int) -> nn.GroupNorm:
+    """GroupNorm(min(c//4, 32), eps=1e-6) as used throughout NCSN++."""
+    return nn.GroupNorm(
+        num_groups=max(min(channels // 4, 32), 1), epsilon=1e-6
+    )
+
+
+class Combine(nn.Module):
+    """Combine a skip pyramid with the trunk (layerspp.py:44-59)."""
+
+    dim2: int
+    method: str = "cat"
+
+    @nn.compact
+    def __call__(self, x: Array, y: Array) -> Array:
+        h = conv1x1(self.dim2, use_bias=True)(x)
+        if self.method == "cat":
+            return jnp.concatenate([h, y], axis=-1)
+        if self.method == "sum":
+            return h + y
+        raise ValueError(f"Method {self.method} not recognized.")
+
+
+class AttnBlockpp(nn.Module):
+    """Self-attention over the full (freq, frames) grid (layerspp.py:62-92).
+
+    The reference's bchw,bcij->bhwij einsum materializes the same (HW, HW)
+    score matrix; here it is expressed as batched MXU matmuls over a
+    flattened grid.
+    """
+
+    skip_rescale: bool = False
+    init_scale: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        b, h_dim, w_dim, c = x.shape
+        h = group_norm(c)(x)
+        q = NIN(c, name="NIN_0")(h)
+        k = NIN(c, name="NIN_1")(h)
+        v = NIN(c, name="NIN_2")(h)
+
+        q = q.reshape(b, h_dim * w_dim, c)
+        k = k.reshape(b, h_dim * w_dim, c)
+        v = v.reshape(b, h_dim * w_dim, c)
+        w = jnp.einsum("bqc,bkc->bqk", q, k) * (int(c) ** (-0.5))
+        w = jax.nn.softmax(w, axis=-1)
+        h = jnp.einsum("bqk,bkc->bqc", w, v).reshape(b, h_dim, w_dim, c)
+        h = NIN(c, init_scale=self.init_scale, name="NIN_3")(h)
+        if not self.skip_rescale:
+            return x + h
+        return (x + h) / np.sqrt(2.0)
+
+
+class FusedResampleConv(nn.Module):
+    """StyleGAN2 Conv2d with fused FIR up/down-sampling
+    (up_or_down_sampling.py:20-60).
+
+    Weights are stored in torch OIHW layout so converted checkpoints map 1:1.
+    """
+
+    out_ch: int
+    kernel: int = 3
+    up: bool = False
+    down: bool = False
+    resample_kernel: Sequence[float] = (1, 3, 3, 1)
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        assert not (self.up and self.down)
+        assert self.kernel >= 1 and self.kernel % 2 == 1
+        in_ch = x.shape[-1]
+        w = self.param(
+            "weight",
+            default_init(),
+            (self.out_ch, in_ch, self.kernel, self.kernel),
+        )
+        # ops.resampling fused conv paths are NCHW
+        x = jnp.transpose(x, (0, 3, 1, 2))
+        if self.up:
+            x = resampling.upsample_conv_2d(x, w, k=list(self.resample_kernel))
+        elif self.down:
+            x = resampling.conv_downsample_2d(x, w, k=list(self.resample_kernel))
+        else:
+            x = jax.lax.conv_general_dilated(
+                x,
+                w,
+                window_strides=(1, 1),
+                padding=[(self.kernel // 2,) * 2] * 2,
+                dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            )
+        x = jnp.transpose(x, (0, 2, 3, 1))
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.out_ch,))
+            x = x + b
+        return x
+
+
+class Upsample(nn.Module):
+    """2x upsampling, optionally FIR-filtered and/or with conv
+    (layerspp.py:95-137)."""
+
+    out_ch: int | None = None
+    with_conv: bool = False
+    fir: bool = False
+    fir_kernel: Sequence[float] = (1, 3, 3, 1)
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        b, h, w, c = x.shape
+        out_ch = self.out_ch or c
+        if not self.fir:
+            xh = jax.image.resize(x, (b, h * 2, w * 2, c), "nearest")
+            if self.with_conv:
+                xh = conv3x3(out_ch)(xh)
+        else:
+            if not self.with_conv:
+                xh = resampling.upsample_2d(
+                    x, list(self.fir_kernel), factor=2, data_format="NHWC"
+                )
+            else:
+                xh = FusedResampleConv(
+                    out_ch, 3, up=True, resample_kernel=self.fir_kernel,
+                    name="Conv2d_0",
+                )(x)
+        return xh
+
+
+class Downsample(nn.Module):
+    """2x downsampling, optionally FIR-filtered and/or with conv
+    (layerspp.py:140-184)."""
+
+    out_ch: int | None = None
+    with_conv: bool = False
+    fir: bool = False
+    fir_kernel: Sequence[float] = (1, 3, 3, 1)
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        b, h, w, c = x.shape
+        out_ch = self.out_ch or c
+        if not self.fir:
+            if self.with_conv:
+                x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+                x = nn.Conv(
+                    out_ch,
+                    (3, 3),
+                    strides=(2, 2),
+                    padding="VALID",
+                    kernel_init=default_init(),
+                    bias_init=nn.initializers.zeros,
+                )(x)
+            else:
+                x = nn.avg_pool(x, (2, 2), strides=(2, 2))
+        else:
+            if not self.with_conv:
+                x = resampling.downsample_2d(
+                    x, list(self.fir_kernel), factor=2, data_format="NHWC"
+                )
+            else:
+                x = FusedResampleConv(
+                    out_ch, 3, down=True, resample_kernel=self.fir_kernel,
+                    name="Conv2d_0",
+                )(x)
+        return x
+
+
+class ResnetBlockDDPMpp(nn.Module):
+    """DDPM-style residual block (layerspp.py:187-243)."""
+
+    act: Callable[[Array], Array]
+    out_ch: int | None = None
+    conv_shortcut: bool = False
+    dropout: float = 0.1
+    skip_rescale: bool = False
+    init_scale: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: Array, temb: Array | None = None, train: bool = False):
+        in_ch = x.shape[-1]
+        out_ch = self.out_ch or in_ch
+        h = self.act(group_norm(in_ch)(x))
+        h = conv3x3(out_ch, name="Conv_0")(h)
+        if temb is not None:
+            h = h + nn.Dense(
+                out_ch,
+                kernel_init=default_init(),
+                bias_init=nn.initializers.zeros,
+                name="Dense_0",
+            )(self.act(temb))[:, None, None, :]
+        h = self.act(group_norm(out_ch)(h))
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        h = conv3x3(out_ch, init_scale=self.init_scale, name="Conv_1")(h)
+        if in_ch != out_ch:
+            if self.conv_shortcut:
+                x = conv3x3(out_ch, name="Conv_2")(x)
+            else:
+                x = NIN(out_ch, name="NIN_0")(x)
+        if not self.skip_rescale:
+            return x + h
+        return (x + h) / np.sqrt(2.0)
+
+
+class ResnetBlockBigGANpp(nn.Module):
+    """BigGAN-style residual block with in-block FIR resampling
+    (layerspp.py:246-323) — the production block of the NCSN++ recipes."""
+
+    act: Callable[[Array], Array]
+    out_ch: int | None = None
+    up: bool = False
+    down: bool = False
+    dropout: float = 0.1
+    fir: bool = False
+    fir_kernel: Sequence[float] = (1, 3, 3, 1)
+    skip_rescale: bool = True
+    init_scale: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: Array, temb: Array | None = None, train: bool = False):
+        in_ch = x.shape[-1]
+        out_ch = self.out_ch or in_ch
+        h = self.act(group_norm(in_ch)(x))
+
+        fir_k = list(self.fir_kernel)
+        if self.up:
+            if self.fir:
+                h = resampling.upsample_2d(h, fir_k, factor=2, data_format="NHWC")
+                x = resampling.upsample_2d(x, fir_k, factor=2, data_format="NHWC")
+            else:
+                h = _naive_up(h)
+                x = _naive_up(x)
+        elif self.down:
+            if self.fir:
+                h = resampling.downsample_2d(h, fir_k, factor=2, data_format="NHWC")
+                x = resampling.downsample_2d(x, fir_k, factor=2, data_format="NHWC")
+            else:
+                h = nn.avg_pool(h, (2, 2), strides=(2, 2))
+                x = nn.avg_pool(x, (2, 2), strides=(2, 2))
+
+        h = conv3x3(out_ch, name="Conv_0")(h)
+        if temb is not None:
+            h = h + nn.Dense(
+                out_ch,
+                kernel_init=default_init(),
+                bias_init=nn.initializers.zeros,
+                name="Dense_0",
+            )(self.act(temb))[:, None, None, :]
+        h = self.act(group_norm(out_ch)(h))
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        h = conv3x3(out_ch, init_scale=self.init_scale, name="Conv_1")(h)
+
+        if in_ch != out_ch or self.up or self.down:
+            x = conv1x1(out_ch, name="Conv_2")(x)
+
+        if not self.skip_rescale:
+            return x + h
+        return (x + h) / np.sqrt(2.0)
+
+
+def _naive_up(x: Array) -> Array:
+    b, h, w, c = x.shape
+    x = x.reshape(b, h, 1, w, 1, c)
+    x = jnp.tile(x, (1, 1, 2, 1, 2, 1))
+    return x.reshape(b, h * 2, w * 2, c)

@@ -14,7 +14,7 @@ in ops/upfirdn2d.py (itself already a single XLA op).
 from __future__ import annotations
 
 
-def maybe_pallas_upfirdn2d(x, kernel, up, down, pad4, force=False):
+def maybe_pallas_upfirdn2d(x, kernel, up, down, pad4, data_format="NCHW", force=False):
     """Return the Pallas result if a fast path applies, else None."""
     if force:
         raise NotImplementedError(

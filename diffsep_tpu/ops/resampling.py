@@ -41,7 +41,7 @@ def setup_kernel(k) -> np.ndarray:
     return k
 
 
-def upsample_2d(x, k=None, factor=2, gain=1.0, impl="auto"):
+def upsample_2d(x, k=None, factor=2, gain=1.0, impl="auto", data_format="NCHW"):
     """FIR upsample by `factor` (zero-insert + low-pass)."""
     assert isinstance(factor, int) and factor >= 1
     if k is None:
@@ -49,18 +49,20 @@ def upsample_2d(x, k=None, factor=2, gain=1.0, impl="auto"):
     k = setup_kernel(k) * (gain * factor**2)
     p = k.shape[0] - factor
     return upfirdn2d(
-        x, k, up=factor, pad=((p + 1) // 2 + factor - 1, p // 2), impl=impl
+        x, k, up=factor, pad=((p + 1) // 2 + factor - 1, p // 2), impl=impl,
+        data_format=data_format,
     )
 
 
-def downsample_2d(x, k=None, factor=2, gain=1.0, impl="auto"):
+def downsample_2d(x, k=None, factor=2, gain=1.0, impl="auto", data_format="NCHW"):
     """FIR anti-aliased downsample by `factor`."""
     assert isinstance(factor, int) and factor >= 1
     if k is None:
         k = [1.0] * factor
     k = setup_kernel(k) * gain
     p = k.shape[0] - factor
-    return upfirdn2d(x, k, down=factor, pad=((p + 1) // 2, p // 2), impl=impl)
+    return upfirdn2d(x, k, down=factor, pad=((p + 1) // 2, p // 2), impl=impl,
+                     data_format=data_format)
 
 
 def upsample_conv_2d(x, w, k=None, factor=2, gain=1.0):

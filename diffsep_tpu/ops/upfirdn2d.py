@@ -49,9 +49,9 @@ def out_size(n: int, up: int, down: int, pad0: int, pad1: int, k: int) -> int:
     return (n * up + pad0 + pad1 - k) // down + 1
 
 
-def _upfirdn2d_conv(x, kernel, up, down, pad):
+def _upfirdn2d_conv(x, kernel, up, down, pad, data_format="NCHW"):
     """Single fused lax.conv_general_dilated covering up/pad/fir/down."""
-    b, c, h, w = x.shape
+    c = x.shape[1] if data_format == "NCHW" else x.shape[-1]
     kh, kw = kernel.shape
     up_y, up_x = up
     down_y, down_x = down
@@ -59,8 +59,13 @@ def _upfirdn2d_conv(x, kernel, up, down, pad):
 
     # "true" convolution == correlation with the flipped kernel
     k = jnp.flip(kernel, (0, 1)).astype(x.dtype)
-    # depthwise: one shared kernel for all channels
-    k = jnp.broadcast_to(k[None, None], (c, 1, kh, kw))
+    if data_format == "NCHW":
+        # depthwise: one shared kernel for all channels
+        k = jnp.broadcast_to(k[None, None], (c, 1, kh, kw))
+        dn = ("NCHW", "OIHW", "NCHW")
+    else:
+        k = jnp.broadcast_to(k[:, :, None, None], (kh, kw, 1, c))
+        dn = ("NHWC", "HWIO", "NHWC")
 
     # conv_general_dilated pads *after* lhs dilation, matching the
     # upsample->pad order. One subtlety: lhs_dilation produces length
@@ -74,36 +79,43 @@ def _upfirdn2d_conv(x, kernel, up, down, pad):
         padding=((pad_y0, pad_y1 + up_y - 1), (pad_x0, pad_x1 + up_x - 1)),
         lhs_dilation=(up_y, up_x),
         rhs_dilation=(1, 1),
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        dimension_numbers=dn,
         feature_group_count=c,
     )
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def upfirdn2d_ref(x, kernel, up=(1, 1), down=(1, 1), pad=(0, 0, 0, 0)):
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def upfirdn2d_ref(
+    x, kernel, up=(1, 1), down=(1, 1), pad=(0, 0, 0, 0), data_format="NCHW"
+):
     """General upfirdn2d (reference path; jit/grad/double-grad safe).
 
     Args:
-        x: (batch, channels, in_h, in_w)
+        x: (batch, channels, in_h, in_w) or (batch, in_h, in_w, channels)
         kernel: (kh, kw) FIR filter
         up, down: (y, x) integer factors
         pad: (pad_y0, pad_y1, pad_x0, pad_x1)
+        data_format: "NCHW" (reference layout) or "NHWC" (TPU-native)
     """
-    return _upfirdn2d_conv(x, kernel, up, down, pad)
+    return _upfirdn2d_conv(x, kernel, up, down, pad, data_format)
 
 
-def _fwd(x, kernel, up, down, pad):
-    out = _upfirdn2d_conv(x, kernel, up, down, pad)
+def _fwd(x, kernel, up, down, pad, data_format):
+    out = _upfirdn2d_conv(x, kernel, up, down, pad, data_format)
     return out, (kernel, x.shape, out.shape)
 
 
-def _bwd(up, down, pad, res, g):
+def _bwd(up, down, pad, data_format, res, g):
     kernel, in_shape, out_shape = res
     up_y, up_x = up
     down_y, down_x = down
     pad_y0, pad_y1, pad_x0, pad_x1 = pad
-    _, _, in_h, in_w = in_shape
-    _, _, out_h, out_w = out_shape
+    if data_format == "NCHW":
+        _, _, in_h, in_w = in_shape
+        _, _, out_h, out_w = out_shape
+    else:
+        _, in_h, in_w, _ = in_shape
+        _, out_h, out_w, _ = out_shape
     kh, kw = kernel.shape
 
     # gradient = upfirdn2d(g, flip(kernel), up=down, down=up, pad=g_pad)
@@ -120,6 +132,7 @@ def _bwd(up, down, pad, res, g):
         (down_y, down_x),
         (up_y, up_x),
         (g_pad_y0, g_pad_y1, g_pad_x0, g_pad_x1),
+        data_format,
     )
     # FIR kernels are non-trainable constants in NCSN++; return zero cotangent
     return grad_x, jnp.zeros_like(kernel)
@@ -128,7 +141,9 @@ def _bwd(up, down, pad, res, g):
 upfirdn2d_ref.defvjp(_fwd, _bwd)
 
 
-def upfirdn2d(x, kernel, up=1, down=1, pad=(0, 0), impl: str = "auto"):
+def upfirdn2d(
+    x, kernel, up=1, down=1, pad=(0, 0), impl: str = "auto", data_format="NCHW"
+):
     """Public entry point matching the reference signature
     (op/upfirdn2d.py:145): scalar up/down, symmetric (pad0, pad1) applied to
     both H and W.
@@ -147,8 +162,8 @@ def upfirdn2d(x, kernel, up=1, down=1, pad=(0, 0), impl: str = "auto"):
         from .pallas import upfirdn as _pallas_upfirdn
 
         fn = _pallas_upfirdn.maybe_pallas_upfirdn2d(
-            x, kernel, up, down, pad4, force=(impl == "pallas")
+            x, kernel, up, down, pad4, data_format, force=(impl == "pallas")
         )
         if fn is not None:
             return fn
-    return upfirdn2d_ref(x, jnp.asarray(kernel), up, down, pad4)
+    return upfirdn2d_ref(x, jnp.asarray(kernel), up, down, pad4, data_format)
