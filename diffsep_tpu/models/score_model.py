@@ -42,49 +42,56 @@ class ScoreModelNCSNpp(nn.Module):
 
     def setup(self):
         if self.spec_trans_learnable:
-            self._exp = self.param(
+            self._exp_param = self.param(
                 "spec_abs_exponent",
                 lambda k: jnp.asarray(self.spec_abs_exponent, jnp.float32),
             )
-            self._factor = self.param(
+            self._factor_param = self.param(
                 "spec_factor",
                 lambda k: jnp.asarray(self.spec_factor, jnp.float32),
             )
-        else:
-            self._exp = self.spec_abs_exponent
-            self._factor = self.spec_factor
-        self.window = jnp.asarray(hann_window(self.n_fft))
+
+    def _transform_consts(self):
+        """(|exponent|, factor) — params when learnable, else static floats.
+
+        Static methods stay usable on an unbound module (the reference's
+        transforms are likewise plain methods, score_models.py:41-70)."""
+        if self.spec_trans_learnable:
+            return jnp.abs(self._exp_param), self._factor_param
+        return abs(self.spec_abs_exponent), self.spec_factor
+
+    @property
+    def window(self) -> Array:
+        return jnp.asarray(hann_window(self.n_fft))
 
     # --- magnitude-compression transforms (score_models.py:41-70) ---
     def transform_forward(self, spec: Array) -> Array:
+        e, factor = self._transform_consts()
         if self.transform == "exponent":
             if self.spec_trans_learnable or self.spec_abs_exponent != 1:
-                e = jnp.abs(self._exp) if self.spec_trans_learnable else abs(self._exp)
                 mag = jnp.abs(spec)
                 phase = jnp.where(mag > 0, spec / jnp.maximum(mag, 1e-37), 1.0 + 0j)
                 spec = mag**e * phase
-            return spec * self._factor
+            return spec * factor
         if self.transform == "log":
             mag = jnp.abs(spec)
             phase = jnp.where(mag > 0, spec / jnp.maximum(mag, 1e-37), 1.0 + 0j)
-            return jnp.log1p(mag) * phase * abs(self._factor)
+            return jnp.log1p(mag) * phase * jnp.abs(factor)
         if self.transform == "none":
             return spec
         raise ValueError("transform must be one of 'exponent'|'log'|'none'")
 
     def transform_backward(self, spec: Array) -> Array:
+        e, factor = self._transform_consts()
         if self.transform == "exponent":
-            spec = spec / (
-                jnp.abs(self._factor) if self.spec_trans_learnable else abs(self._factor)
-            )
+            spec = spec / jnp.abs(factor) if self.spec_trans_learnable else spec / abs(factor)
             if self.spec_trans_learnable or self.spec_abs_exponent != 1:
-                e = jnp.abs(self._exp) if self.spec_trans_learnable else abs(self._exp)
                 mag = jnp.abs(spec)
                 phase = jnp.where(mag > 0, spec / jnp.maximum(mag, 1e-37), 1.0 + 0j)
                 spec = mag ** (1.0 / e) * phase
             return spec
         if self.transform == "log":
-            spec = spec / abs(self._factor)
+            spec = spec / jnp.abs(factor)
             mag = jnp.abs(spec)
             phase = jnp.where(mag > 0, spec / jnp.maximum(mag, 1e-37), 1.0 + 0j)
             return (jnp.exp(mag) - 1.0) * phase
