@@ -1,0 +1,135 @@
+"""PC sampler tests.
+
+Key check: with the *analytic* score of the MixSDE Gaussian marginal,
+the PC sampler must recover the true sources from the mixture — an
+end-to-end validation of predictor + corrector + scan plumbing without a
+neural network (SURVEY.md §4 item d).
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from diffsep_tpu.sampling import (
+    CorrectorRegistry,
+    PredictorRegistry,
+    fibonaccispace,
+    make_timesteps,
+    ode_sample,
+    pc_sample,
+)
+from diffsep_tpu.sde import MixSDE
+
+
+def analytic_score(sde, x0):
+    """Exact score of p_t(x | x0): -Sigma^{-1}(x - mean) with
+    Sigma = L L^T and mean the closed-form marginal mean."""
+
+    def score(x, t, cond):
+        mean, L = sde.marginal_prob(x0, t, cond)
+        # Sigma^{-1} = A/ev1 + Pn/ev2 via eigenstructure
+        d = sde.mult_std_inv(L, sde.mult_std_inv(L, x - mean))
+        return -d
+
+    return score
+
+
+def test_registries():
+    for n in ["euler_maruyama", "reverse_diffusion", "none"]:
+        assert n in PredictorRegistry
+    for n in ["langevin", "ald", "ald2", "none"]:
+        assert n in CorrectorRegistry
+
+
+@pytest.mark.parametrize("corrector", ["ald2", "ald", "langevin"])
+def test_pc_sampler_recovers_sources_with_analytic_score(corrector):
+    rng = np.random.default_rng(0)
+    sde = MixSDE(ndim=2, N=50)
+    # smooth "sources"
+    n = 256
+    s1 = np.sin(2 * np.pi * 5 * np.arange(n) / n)
+    s2 = np.sign(np.sin(2 * np.pi * 3 * np.arange(n) / n)) * 0.7
+    x0 = jnp.asarray(np.stack([s1, s2])[None].astype(np.float32))
+    mix = x0.sum(axis=1, keepdims=True)
+
+    score_fn = analytic_score(sde, x0)
+    x, nfe = jax.jit(
+        lambda k: pc_sample(
+            k, sde, score_fn, mix, "reverse_diffusion", corrector,
+            snr=0.5, corrector_steps=1, eps=0.03,
+        )
+    )(jax.random.PRNGKey(3))
+    assert nfe == 50 * 2
+    err = np.abs(np.asarray(x) - np.asarray(x0)).mean()
+    assert err < 0.1, f"PC sampler failed to track analytic score: {err}"
+
+
+def test_pc_sampler_jit_once_scan(caplog):
+    """The whole N-step loop is one compiled function (no per-step retrace):
+    the score_fn is traced a constant number of times regardless of N."""
+    sde = MixSDE(ndim=2, N=40)
+    calls = []
+
+    def counting_score(x, t, cond):
+        calls.append(1)
+        return -x
+
+    mix = jnp.ones((1, 1, 64))
+    jax.jit(
+        lambda k: pc_sample(k, sde, counting_score, mix, N=40)
+    )(jax.random.PRNGKey(0))
+    # scan traces its body once; corrector+predictor each trace score once
+    assert len(calls) <= 4, f"score_fn traced {len(calls)} times"
+
+
+def test_scheduled_timesteps():
+    ts, dts = make_timesteps(1.0, 0.03, 30, None)
+    assert ts.shape == (30,) and float(ts[0]) == 1.0
+    np.testing.assert_allclose(np.asarray(dts), 1 / 30)
+    for sched in ["linear", "log", "revlog"]:
+        ts, dts = make_timesteps(1.0, 0.03, 30, sched)
+        assert ts.shape == (30,) and dts.shape == (30,)
+        t = np.asarray(ts)
+        assert (np.diff(t) < 0).all(), f"{sched} timesteps must decrease"
+        np.testing.assert_allclose(t[0], 1.0, rtol=1e-5)
+
+
+def test_scheduled_sampler_runs():
+    sde = MixSDE(ndim=2, N=10)
+    mix = jnp.ones((1, 1, 32))
+    x, nfe = pc_sample(
+        jax.random.PRNGKey(0), sde, lambda x, t, c: -x, mix, schedule="log"
+    )
+    assert x.shape == (1, 2, 32) and np.isfinite(np.asarray(x)).all()
+
+
+def test_intermediate_outputs():
+    sde = MixSDE(ndim=2, N=5)
+    mix = jnp.ones((1, 1, 16))
+    x, nfe, ims = pc_sample(
+        jax.random.PRNGKey(0), sde, lambda x, t, c: -x, mix, intermediate=True
+    )
+    assert ims.shape == (5, 2, 1, 2, 16)
+
+
+def test_ode_sampler_rk4_tracks_analytic_score():
+    rng = np.random.default_rng(1)
+    sde = MixSDE(ndim=2, N=60)
+    n = 128
+    s1 = np.cos(2 * np.pi * 4 * np.arange(n) / n)
+    s2 = 0.5 * np.sin(2 * np.pi * 7 * np.arange(n) / n)
+    x0 = jnp.asarray(np.stack([s1, s2])[None].astype(np.float32))
+    mix = x0.sum(axis=1, keepdims=True)
+    x, nfe = ode_sample(
+        jax.random.PRNGKey(0), sde, analytic_score(sde, x0), mix, method="rk4"
+    )
+    err = np.abs(np.asarray(x) - np.asarray(x0)).mean()
+    assert err < 0.15, err
+
+
+def test_fibonaccispace():
+    t = np.asarray(fibonaccispace(0.0, 1.0, 8))
+    assert t.shape == (8,)
+    assert t[0] == 0.0 and abs(t[-1] - 1.0) < 1e-6
+    assert (np.diff(t) >= 0).all()
