@@ -1,0 +1,206 @@
+"""Training-loss tests.
+
+The single-forward PIT losses must compute exactly the same values as the
+reference's multi-forward formulation (pl_model.py:249-405). The reference
+math is transcribed here in its original multi-forward form and fed the same
+random draws (reproduced white-box from the key-split order), with a
+deterministic fake network.
+"""
+import itertools
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from diffsep_tpu.sde import MixSDE
+from diffsep_tpu.train import losses as TL
+
+
+def fake_score(x_t, t, mix):
+    """Deterministic nonlinear 'network' for equivalence tests."""
+    return -0.5 * x_t + 0.2 * jnp.tanh(x_t) + 0.1 * jnp.broadcast_to(mix, x_t.shape)
+
+
+@pytest.fixture
+def batch(rng):
+    b, n, s = 4, 2, 64
+    target = jnp.asarray(rng.standard_normal((b, n, s)).astype(np.float32))
+    mix = target.sum(axis=1, keepdims=True)
+    return mix, target
+
+
+def test_normalize_batch_matches_torch(rng):
+    import torch
+
+    mix = rng.standard_normal((3, 1, 50)).astype(np.float32)
+    tgt = rng.standard_normal((3, 2, 50)).astype(np.float32)
+    (m, t), mean, std = TL.normalize_batch(jnp.asarray(mix), jnp.asarray(tgt))
+    tm = torch.from_numpy(mix)
+    ref_mean = tm.mean(dim=(1, 2), keepdim=True)
+    ref_std = tm.std(dim=(1, 2), keepdim=True).clamp(min=1e-5)
+    np.testing.assert_allclose(np.asarray(mean), ref_mean.numpy(), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(std), ref_std.numpy(), rtol=1e-5)
+    back = TL.denormalize_batch(t, mean, std)
+    np.testing.assert_allclose(np.asarray(back), tgt, atol=1e-5)
+
+
+def test_shuffle_sources_permutes(rng):
+    x = jnp.asarray(rng.standard_normal((8, 3, 10)).astype(np.float32))
+    y = TL.shuffle_sources(jax.random.PRNGKey(0), x)
+    # per batch entry the set of rows is preserved
+    for b in range(8):
+        sx = {tuple(np.round(r, 5)) for r in np.asarray(x)[b]}
+        sy = {tuple(np.round(r, 5)) for r in np.asarray(y)[b]}
+        assert sx == sy
+
+
+def test_power_order_sources(rng):
+    x = jnp.asarray(rng.standard_normal((4, 3, 100)).astype(np.float32))
+    y = np.asarray(TL.power_order_sources(x))
+    v = y.var(axis=-1)
+    assert (np.diff(v, axis=1) >= -1e-6).all()
+
+
+def test_init_hack_pit_input_is_perm_independent(batch):
+    """The algebraic identity justifying the single forward:
+    mean_p + L (z0 + L^{-1}(mix/n - mean_p)) == mix/n + L z0 for all perms."""
+    mix, target = batch
+    sde = MixSDE(ndim=2)
+    time = jnp.full((mix.shape[0],), sde.T)
+    z0 = jax.random.normal(jax.random.PRNGKey(1), target.shape)
+    true_mix = jnp.broadcast_to(mix, target.shape) / target.shape[1]
+    ref = true_mix + sde.mult_std(sde.marginal_prob(target, time, mix)[1], z0)
+    for p in itertools.permutations(range(2)):
+        mean, L = sde.marginal_prob(target[:, p, :], time, mix)
+        z = z0 + sde.mult_std_inv(L, true_mix - mean)
+        x_t = mean + sde.mult_std(L, z)
+        np.testing.assert_allclose(np.asarray(x_t), np.asarray(ref), atol=1e-4)
+
+
+def test_init_hack_pit_matches_multiforward(batch):
+    """Our 1-forward loss == the reference's n_perm-forward formulation
+    (pl_model.py:370-405) given the same z0."""
+    mix, target = batch
+    sde = MixSDE(ndim=2)
+    key = jax.random.PRNGKey(2)
+    ours = TL.compute_score_loss_init_hack_pit(key, sde, fake_score, mix, target)
+
+    # reference transcription (multi-forward)
+    time = jnp.full((mix.shape[0],), sde.T)
+    true_mix = jnp.broadcast_to(mix, target.shape) / target.shape[1]
+    z0 = jax.random.normal(key, target.shape)  # same draw as inside
+    losses = []
+    for p in itertools.permutations(range(2)):
+        mean, L = sde.marginal_prob(target[:, p, :], time, mix)
+        z = z0 + sde.mult_std_inv(L, true_mix - mean)
+        x_t = mean + sde.mult_std(L, z)
+        pred = fake_score(x_t, time, mix)
+        losses.append(
+            ((sde.mult_std(L, pred) + z) ** 2).mean(axis=(-2, -1))
+        )
+    ref = jnp.stack(losses, axis=1).min(axis=1)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=1e-4)
+
+
+def test_pit_allthetime_matches_multiforward(batch):
+    mix, target = batch
+    sde = MixSDE(ndim=2)
+    key = jax.random.PRNGKey(3)
+    ours = TL.compute_score_loss_with_pit_allthetime(
+        key, sde, fake_score, mix, target, t_eps=0.03
+    )
+
+    # reproduce internal draws (kt, kz, ksh order)
+    kt, kz, ksh = jax.random.split(key, 3)
+    tgt = TL.shuffle_sources(ksh, target)
+    time = jax.random.uniform(kt, (mix.shape[0],), minval=0.03, maxval=sde.T)
+    mean_0, L = sde.marginal_prob(tgt, time, mix)
+    z0 = jax.random.normal(kz, target.shape)
+    x_t = mean_0 + sde.mult_std(L, z0)
+    losses = []
+    for p in itertools.permutations(range(2)):
+        mean_p = sde.marginal_prob(tgt[:, p, :], time, mix)[0]
+        z_p = z0 + sde.mult_std_inv(L, mean_0 - mean_p)
+        pred = fake_score(x_t, time, mix)  # reference re-evaluates per perm
+        losses.append(((sde.mult_std(L, pred) + z_p) ** 2).mean(axis=(-2, -1)))
+    ref = jnp.stack(losses, axis=0).min(axis=0)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=1e-4)
+
+
+def test_pit_mmnr_gate_matches_multiforward(batch):
+    mix, target = batch
+    sde = MixSDE(ndim=2)
+    key = jax.random.PRNGKey(4)
+    thresh = -10.0
+    ours = TL.compute_score_loss_with_pit(
+        key, sde, fake_score, mix, target, t_eps=0.03, mmnr_thresh_pit=thresh
+    )
+
+    kt, kz, ks = jax.random.split(key, 3)
+    time = jax.random.uniform(kt, (mix.shape[0],), minval=0.03, maxval=sde.T)
+    perms = list(itertools.permutations(range(2)))
+    means = jnp.stack(
+        [sde.marginal_prob(target[:, p, :], time, mix)[0] for p in perms], axis=1
+    )
+    L = sde.marginal_prob(target, time, mix)[1]
+    z = jax.random.normal(kz, target.shape)
+    Lz = sde.mult_std(L, z)
+    sel = jax.random.randint(ks, (target.shape[0],), 0, len(perms))
+    mean_select = jnp.take_along_axis(means, sel[:, None, None, None], axis=1)[:, 0]
+    x_t = mean_select + Lz
+    err = means - mean_select[:, None]
+    n_elems = (len(perms) - 1) * means.shape[2] * means.shape[3]
+    mmnr = 10 * jnp.log10(
+        (err**2).sum(axis=(1, 2, 3)) / n_elems
+        / jnp.clip((Lz**2).mean(axis=(1, 2)), 1e-5)
+    )
+    pred = fake_score(x_t, time, mix)
+    loss_reg = ((sde.mult_std(L, pred) + z) ** 2).mean(axis=(-2, -1))
+    l_pit = []
+    for i in range(len(perms)):
+        z_p = z + sde.mult_std_inv(L, err[:, i])
+        l_pit.append(((sde.mult_std(L, pred) + z_p) ** 2).mean(axis=(-2, -1)))
+    ref = jnp.where(mmnr < thresh, jnp.stack(l_pit, -1).min(-1), loss_reg)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=1e-4)
+
+
+@pytest.mark.parametrize("init_hack", [False, 1, 2, 3, 4, 5, 6, 7])
+def test_training_loss_dispatch_finite(batch, init_hack):
+    mix, target = batch
+    sde = MixSDE(ndim=2)
+    loss = TL.training_loss(
+        jax.random.PRNGKey(5),
+        sde,
+        fake_score,
+        mix,
+        target,
+        t_eps=0.03,
+        init_hack=init_hack,
+        init_hack_p=0.5,
+    )
+    assert np.isfinite(float(loss))
+
+
+@pytest.mark.parametrize("order", ["random", "power", "pit"])
+def test_training_loss_source_orders(batch, order):
+    mix, target = batch
+    sde = MixSDE(ndim=2)
+    loss = TL.training_loss(
+        jax.random.PRNGKey(6), sde, fake_score, mix, target,
+        t_eps=0.03, train_source_order=order,
+    )
+    assert np.isfinite(float(loss))
+
+
+def test_training_loss_jits(batch):
+    mix, target = batch
+    sde = MixSDE(ndim=2)
+    f = jax.jit(
+        lambda k: TL.training_loss(
+            k, sde, fake_score, mix, target, t_eps=0.03, init_hack=5,
+            init_hack_p=0.1,
+        )
+    )
+    assert np.isfinite(float(f(jax.random.PRNGKey(7))))
