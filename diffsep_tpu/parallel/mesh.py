@@ -1,0 +1,70 @@
+"""Device mesh construction and sharding helpers.
+
+The reference's parallelism is Lightning DDP over NCCL (one process per
+GPU, config/trainer/allgpus.yaml) plus host process pools for evaluation
+(evaluate_mp.py). TPU-native equivalent (SURVEY.md §2.8): a single
+`jax.sharding.Mesh` whose `dp` axis carries data parallelism over ICI;
+gradients are reduced by XLA collectives inserted by jit from sharding
+annotations — no process groups, no explicit all-reduce calls.
+
+A `fsdp` axis is exposed for parameter sharding (ZeRO-style) when models
+outgrow one chip's HBM; the DiffSep-scale NCSN++ (~65M params) fits
+comfortably replicated, so dp-only is the default.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = [
+    "make_mesh",
+    "data_sharding",
+    "replicated",
+    "shard_batch",
+    "local_device_count",
+]
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    axis_names: Sequence[str] = ("dp",),
+    devices=None,
+) -> Mesh:
+    """1-D (or reshaped) mesh over the available devices.
+
+    With multiple processes (multi-host TPU pods), call
+    `jax.distributed.initialize()` first; `jax.devices()` then spans the
+    full slice and the mesh covers DCN+ICI transparently.
+    """
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    arr = np.asarray(devices)
+    if len(axis_names) > 1:
+        # trailing axes get size 1 unless the device count factors evenly
+        shape = (len(devices),) + (1,) * (len(axis_names) - 1)
+        arr = arr.reshape(shape)
+    return Mesh(arr, axis_names)
+
+
+def data_sharding(mesh: Mesh, axis: str = "dp") -> NamedSharding:
+    """Shard the leading (batch) dimension over the data axis."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh, axis: str = "dp"):
+    """Device-put a host batch with the batch dim sharded over `axis`."""
+    sh = data_sharding(mesh, axis)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def local_device_count() -> int:
+    return jax.local_device_count()
