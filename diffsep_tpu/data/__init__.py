@@ -1,0 +1,15 @@
+from .audio_io import load_wav, save_wav
+from .loader import DataLoader
+from .vctk_demand import NoisyDataset, Subset, split_train_val
+from .wsj0_mix import WSJ0_mix, max_collator
+
+__all__ = [
+    "load_wav",
+    "save_wav",
+    "DataLoader",
+    "WSJ0_mix",
+    "max_collator",
+    "NoisyDataset",
+    "Subset",
+    "split_train_val",
+]
