@@ -1,0 +1,67 @@
+"""Training entry point.
+
+Capability parity with the reference's train.py: hydra-style CLI
+(`python -m diffsep_tpu.cli.train experiment=icassp-separation
+model.sde.sigma_min=0.1`), run-dir templating
+exp/<name>/<timestamp>_<overrides>/ (config/config.yaml:20-29), seed
+setting, datamodule choice by experiment name (train.py:122-125),
+checkpoint/resume, optional test after fit.
+"""
+from __future__ import annotations
+
+import datetime
+import logging
+import sys
+from pathlib import Path
+
+from ..config import compose
+
+log = logging.getLogger(__name__)
+
+
+def make_run_dir(cfg, overrides) -> Path:
+    ts = datetime.datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
+    tag = "_".join(o.replace("/", ".") for o in overrides if "=" in o)
+    d = Path(cfg.path.exp_root) / str(cfg.name) / (f"{ts}_{tag}" if tag else ts)
+    d.mkdir(parents=True, exist_ok=True)
+    return d
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO)
+    overrides = list(argv if argv is not None else sys.argv[1:])
+    cfg = compose(overrides)
+
+    from ..data.datamodule import Valentini_Module, WSJ0_mix_Module
+    from ..model import DiffSepModel
+    from ..train.loop import fit
+
+    run_dir = make_run_dir(cfg, overrides)
+    log.info("run dir: %s", run_dir)
+
+    if cfg.name == "enhancement":
+        dm = Valentini_Module(cfg)
+    else:
+        dm = WSJ0_mix_Module(cfg)
+
+    model = DiffSepModel(cfg)
+
+    state = None
+    if cfg.get("train", True):
+        state = fit(
+            model,
+            dm,
+            run_dir,
+            seed=int(cfg.get("seed", 0)),
+            resume=cfg.get("trainer", {}).get("resume_from_checkpoint") is not None,
+        )
+
+    if cfg.get("test", False):
+        from ..cli.evaluate import evaluate_datamodule
+
+        evaluate_datamodule(model, state, dm, run_dir / "test_results")
+    return state
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,221 @@
+"""DiffSepModel — the high-level training/inference façade.
+
+Capability parity with pl_model.DiffSepModel (pl_model.py:95-759), minus
+Lightning: the model owns the score network definition, the SDE, the loss
+configuration, the optimizer/EMA/clipping setup and the samplers, but state
+(parameters, optimizer, EMA) lives in an explicit TrainState pytree.
+
+Construction consumes the composed config tree (config.model.*) with the
+same keys as the reference's hydra config.
+"""
+from __future__ import annotations
+
+import importlib
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .config import instantiate
+from .models.score_model import ScoreModelNCSNpp
+from .sampling.pc import ode_sample, pc_sample
+from .train.losses import denormalize_batch, normalize_batch
+from .train.trainer import (
+    LossConfig,
+    OptimConfig,
+    init_train_state,
+    make_clipper,
+    make_optimizer,
+    make_train_step,
+    make_val_score_loss,
+)
+
+Array = jax.Array
+
+
+def _tupled(v):
+    return tuple(v) if isinstance(v, (list, tuple)) else v
+
+
+def build_score_model(sm_cfg) -> ScoreModelNCSNpp:
+    """Build the Flax score model from the score_model config node
+    (mirrors the ctor channel inference at score_models.py:24-26)."""
+    num_sources = int(sm_cfg["num_sources"])
+    backbone_args = dict(sm_cfg["backbone_args"])
+    target = backbone_args.pop("_target_")
+    mod_name, _, cls_name = target.rpartition(".")
+    backbone_cls = getattr(importlib.import_module(mod_name), cls_name)
+    backbone_args = {k: _tupled(v) for k, v in backbone_args.items()}
+    backbone_args.update(
+        num_channels_in=2 * num_sources + 2, num_channels_out=2 * num_sources
+    )
+    backbone = backbone_cls(**backbone_args)
+
+    stft_args = sm_cfg.get("stft_args", {}) or {}
+    return ScoreModelNCSNpp(
+        backbone=backbone,
+        num_sources=num_sources,
+        n_fft=int(stft_args.get("n_fft", 510)),
+        hop_length=int(stft_args.get("hop_length", 128)),
+        center=bool(stft_args.get("center", True)),
+        transform=sm_cfg.get("transform", "exponent"),
+        spec_abs_exponent=float(sm_cfg.get("spec_abs_exponent", 0.5)),
+        spec_factor=float(sm_cfg.get("spec_factor", 3.0)),
+        spec_trans_learnable=bool(sm_cfg.get("spec_trans_learnable", False)),
+    )
+
+
+class DiffSepModel:
+    def __init__(self, config):
+        self.config = config
+        m = config.model
+
+        self.score_model = build_score_model(m.score_model)
+        self.sde = instantiate(m.sde)
+        self.t_eps = float(m.t_eps)
+        self.t_max = self.sde.T
+
+        self.loss_cfg = LossConfig(
+            t_eps=self.t_eps,
+            t_rev_init=float(m.get("t_rev_init", 0.03)),
+            init_hack=m.get("init_hack", False),
+            init_hack_p=float(m.get("init_hack_p", 1.0 / self.sde.N)),
+            train_source_order=str(m.get("train_source_order", "random")),
+            mmnr_thresh_pit=float(m.get("mmnr_thresh_pit", -10.0)),
+            time_sampling_strategy=m.get("time_sampling_strategy", "uniform"),
+        )
+
+        clip_cfg = m.get("grad_clipper") or {}
+        clip_target = clip_cfg.get("_target_", "")
+        if clip_target.endswith("FixedClipper"):
+            clip_kind, clip_max, clip_p = "fixed", float(clip_cfg.get("max_norm", 5.0)), 10.0
+        elif clip_target.endswith("AutoClipper"):
+            clip_kind, clip_max, clip_p = "autoclip", 5.0, float(clip_cfg.get("p", 10.0))
+        else:
+            clip_kind, clip_max, clip_p = "none", 5.0, 10.0
+
+        trainer_cfg = config.get("trainer", {}) or {}
+        self.optim_cfg = OptimConfig(
+            lr=float(m.optimizer.lr),
+            weight_decay=float(m.optimizer.get("weight_decay", 0.0)),
+            lr_warmup=m.get("lr_warmup"),
+            accumulate_grad_batches=int(
+                trainer_cfg.get("accumulate_grad_batches", 1)
+            ),
+            ema_decay=float(m.get("ema_decay", 0.999)),
+            grad_clipper=clip_kind,
+            clip_max_norm=clip_max,
+            autoclip_percentile=clip_p,
+        )
+        self.valid_max_sep_batches = int(m.get("valid_max_sep_batches", 1))
+        self.sampler_kwargs = dict(m.get("sampler", {}) or {})
+
+        self.val_losses = {}
+        for name, args in (m.get("val_losses") or {}).items():
+            self.val_losses[name] = instantiate(args)
+
+        self.tx = make_optimizer(self.optim_cfg)
+        self.clipper = make_clipper(self.optim_cfg)
+
+    # --- parameter / state management ---
+    def init_params(self, key: jax.Array, example_mix: Array, example_tgt: Array):
+        t = jnp.full((example_mix.shape[0],), 0.5)
+        variables = self.score_model.init(key, example_tgt, t, example_mix)
+        return variables["params"]
+
+    def init_state(self, key, example_mix, example_tgt):
+        params = self.init_params(key, example_mix, example_tgt)
+        return init_train_state(params, self.tx, self.clipper)
+
+    def score_apply(self, params, x, t, mix):
+        return self.score_model.apply({"params": params}, x, t, mix)
+
+    def load_torch_checkpoint(self, state_dict: Dict[str, Any]):
+        """Convert a reference Lightning checkpoint's score-model weights
+        (keys 'score_model.backbone.*', separate.py:36-48)."""
+        from .models.convert import convert_backbone_state_dict
+
+        params = {
+            "backbone": convert_backbone_state_dict(
+                state_dict, prefix="score_model.backbone."
+            )
+        }
+        return params
+
+    # --- training ---
+    def make_train_step(self, base_key: jax.Array):
+        return make_train_step(
+            self.score_apply,
+            self.sde,
+            self.tx,
+            self.clipper,
+            self.loss_cfg,
+            self.optim_cfg,
+            base_key,
+        )
+
+    def make_val_loss(self, base_key: jax.Array):
+        return make_val_score_loss(
+            self.score_apply, self.sde, self.loss_cfg, base_key
+        )
+
+    # --- inference (pl_model.py:148-164, 687-759) ---
+    def separate(self, params, key, mix, **kwargs):
+        kw = dict(
+            predictor_name="reverse_diffusion",
+            corrector_name="ald2",
+            eps=self.t_eps,
+        )
+        kw.update(self.sampler_kwargs)
+        kw.update(kwargs)
+        (mix_n, _), mean, std = normalize_batch(mix, None)
+        score_fn = lambda x, t, m: self.score_apply(params, x, t, m)
+        est, nfe = pc_sample(key, self.sde, score_fn, mix_n, **kw)
+        return denormalize_batch(est, mean, std), nfe
+
+    def get_pc_sampler(
+        self,
+        predictor_name: str,
+        corrector_name: str,
+        y: Array,
+        params,
+        key: Optional[jax.Array] = None,
+        N: Optional[int] = None,
+        minibatch: Optional[int] = None,
+        schedule: Optional[str] = None,
+        **kwargs,
+    ):
+        """API parity with pl_model.py:687-759. `minibatch` chunks the batch
+        (useful to bound memory on very long utterances)."""
+        key = key if key is not None else jax.random.PRNGKey(0)
+        kwargs = {"eps": self.t_eps, **kwargs}
+        score_fn = lambda x, t, m: self.score_apply(params, x, t, m)
+
+        if minibatch is None:
+            def sampler(key=key):
+                return pc_sample(
+                    key, self.sde, score_fn, y,
+                    predictor_name, corrector_name,
+                    N=N, schedule=schedule, **kwargs,
+                )
+            return sampler
+
+        def batched_sampler(key=key):
+            import math as _math
+
+            M = y.shape[0]
+            samples, ns = [], []
+            for i in range(_math.ceil(M / minibatch)):
+                k = jax.random.fold_in(key, i)
+                y_mini = y[i * minibatch : (i + 1) * minibatch]
+                s, n = pc_sample(
+                    k, self.sde, score_fn, y_mini,
+                    predictor_name, corrector_name,
+                    N=N, schedule=schedule, **kwargs,
+                )
+                samples.append(s)
+                ns.append(n)
+            return jnp.concatenate(samples, axis=0), ns
+
+        return batched_sampler

@@ -1,0 +1,177 @@
+"""The fit loop: epochs, validation, logging, checkpointing.
+
+Capability parity with train.py + the Lightning Trainer behaviours the
+reference relies on (SURVEY.md §2.6, §5):
+  * run-dir layout exp/<name>/<timestamp>_<overrides>/ with a composed
+    `hparams.yaml` next to the checkpoints (consumed by evaluate)
+  * TensorBoard scalars at the reference cadence: train/score_loss every
+    10 steps (pl_model.py:519-528), grad/norm + grad/clipped_norm +
+    grad/step_size every 25 (pl_model.py:624-639), epoch-level
+    val/score_loss and val/si_sdr
+  * ModelCheckpoint(top_k=20, monitor=val/si_sdr, mode=max) + best-model
+    symlink + resume (train.py:105-144)
+  * data parallelism: batches sharded over the mesh's dp axis; metric
+    reduction is a by-product of jit on sharded arrays (the reference's
+    sync_dist=True)
+"""
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import yaml
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..config.compose import to_dict
+from ..model import DiffSepModel
+from ..parallel.mesh import make_mesh, shard_batch
+from .checkpoints import CheckpointManager
+
+try:
+    from tensorboardX import SummaryWriter
+except ImportError:  # pragma: no cover
+    SummaryWriter = None
+
+
+class Logger:
+    def __init__(self, logdir):
+        self.writer = SummaryWriter(str(logdir)) if SummaryWriter else None
+
+    def log_metrics(self, metrics, step):
+        if self.writer is None:
+            return
+        for k, v in metrics.items():
+            self.writer.add_scalar(k, float(v), int(step))
+
+    def close(self):
+        if self.writer is not None:
+            self.writer.close()
+
+
+def fit(
+    model: DiffSepModel,
+    datamodule,
+    workdir,
+    seed: int = 0,
+    max_epochs: Optional[int] = None,
+    max_steps: Optional[int] = None,
+    check_val_every_n_epoch: int = 1,
+    n_devices: Optional[int] = None,
+    resume: bool = False,
+    log_every: int = 10,
+    grad_log_every: int = 25,
+    state=None,
+):
+    """Train `model` on `datamodule`. Returns the final TrainState."""
+    workdir = Path(workdir)
+    workdir.mkdir(parents=True, exist_ok=True)
+    with open(workdir / "hparams.yaml", "w") as f:
+        yaml.safe_dump({"config": to_dict(model.config)}, f)
+
+    cfg_trainer = model.config.get("trainer", {}) or {}
+    if max_epochs is None:
+        max_epochs = int(cfg_trainer.get("max_epochs", 1000))
+    check_val_every_n_epoch = int(
+        cfg_trainer.get("check_val_every_n_epoch", check_val_every_n_epoch)
+    )
+
+    devices = cfg_trainer.get("devices", 1)
+    if n_devices is None:
+        n_devices = len(jax.devices()) if devices in (-1, "auto") else int(devices)
+    mesh = make_mesh(n_devices)
+
+    logger = Logger(workdir / "tb")
+    ckpt = CheckpointManager(
+        workdir / "checkpoints",
+        max_to_keep=20,
+        monitor=model.config.model.get("main_val_loss", "val/si_sdr"),
+        mode=model.config.model.get("main_val_loss_mode", "max"),
+    )
+
+    key = jax.random.PRNGKey(seed)
+    k_init, k_train, k_val, k_sep = jax.random.split(key, 4)
+
+    # --- state init / resume ---
+    train_loader = datamodule.train_dataloader()
+    if state is None:
+        mix0, tgt0 = next(iter(train_loader))
+        state = model.init_state(k_init, jnp.asarray(mix0), jnp.asarray(tgt0))
+        if resume and ckpt.latest_step() is not None:
+            state = ckpt.restore(state)
+    state = jax.device_put(state, NamedSharding(mesh, P()))
+
+    train_step = jax.jit(model.make_train_step(k_train), donate_argnums=(0,))
+    val_loss_fn = jax.jit(model.make_val_loss(k_val))
+
+    step = int(jax.device_get(state.step))
+    t_start = time.perf_counter()
+    stop = False
+
+    for epoch in range(max_epochs):
+        for mix, target in train_loader:
+            batch = shard_batch(
+                (jnp.asarray(mix), jnp.asarray(target)), mesh
+            )
+            state, metrics = train_step(state, *batch)
+            step += 1
+            if step % log_every == 0:
+                logger.log_metrics(
+                    {"train/score_loss": metrics["train/score_loss"]}, step
+                )
+            if step % grad_log_every == 0:
+                logger.log_metrics(
+                    {
+                        "grad/norm": metrics["grad/norm"],
+                        "grad/clipped_norm": metrics["grad/clipped_norm"],
+                        "grad/step_size": metrics["grad/step_size"],
+                    },
+                    step,
+                )
+            if max_steps is not None and step >= max_steps:
+                stop = True
+                break
+
+        if (epoch + 1) % check_val_every_n_epoch == 0 or stop:
+            val_metrics = validate(model, datamodule, state, val_loss_fn, k_sep, mesh)
+            logger.log_metrics(val_metrics, step)
+            ckpt.save(step, jax.device_get(state), val_metrics)
+        if stop:
+            break
+
+    logger.close()
+    ckpt.close()
+    return state
+
+
+def validate(model, datamodule, state, val_loss_fn, key, mesh):
+    """Validation: score loss over the full loader + PC separation metrics
+    on the first valid_max_sep_batches batches (pl_model.py:540-564)."""
+    losses = []
+    sep_metrics = {name: [] for name in model.val_losses}
+    n_sep_done = 0
+    for i, (mix, target) in enumerate(datamodule.val_dataloader()):
+        mix = jnp.asarray(mix)
+        target = jnp.asarray(target)
+        losses.append(
+            float(val_loss_fn(state.params, mix, target, jnp.asarray(i)))
+        )
+        if n_sep_done < model.valid_max_sep_batches:
+            n_sep_done += 1
+            # evaluation uses the EMA weights (pl_model.py:650-670)
+            est, _ = model.separate(
+                state.ema.params, jax.random.fold_in(key, i), mix
+            )
+            for name, loss in model.val_losses.items():
+                try:
+                    sep_metrics[name].append(float(loss(est, target)))
+                except ImportError:
+                    pass  # optional metric backend missing (e.g. pesq)
+    out = {"val/score_loss": float(np.mean(losses))}
+    for name, vals in sep_metrics.items():
+        if vals:
+            out[name] = float(np.mean(vals))
+    return out

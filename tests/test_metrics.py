@@ -1,0 +1,91 @@
+"""Metric tests: SI-BSS eval decomposition properties and STOI sanity."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from diffsep_tpu.models.losses import SISDRLoss, si_sdr, si_sdr_pit
+from diffsep_tpu.models.metrics import si_bss_eval_sources, stoi
+
+
+def _sources(rng, n=2, T=4000):
+    return rng.standard_normal((1, n, T)).astype(np.float64)
+
+
+def test_si_sdr_perfect_estimate(rng):
+    ref = _sources(rng)
+    sdr, sir, sar, perm = si_bss_eval_sources(ref, ref * 3.0, clamp_db=100)
+    # scale-invariance: scaled copy has max SDR (hits clamp)
+    assert (sdr >= 99.0).all()
+    np.testing.assert_array_equal(perm[0], [0, 1])
+
+
+def test_si_sdr_permuted_estimate(rng):
+    ref = _sources(rng)
+    est = ref[:, ::-1, :].copy()
+    sdr, _, _, perm = si_bss_eval_sources(ref, est, clamp_db=100)
+    np.testing.assert_array_equal(perm[0], [1, 0])
+    assert (sdr >= 99.0).all()
+
+
+def test_si_sdr_known_value(rng):
+    """SDR of ref + noise at a controlled level ~= expected SNR."""
+    ref = _sources(rng, n=2)
+    noise = rng.standard_normal(ref.shape)
+    # scale noise for 10 dB per source
+    for i in range(2):
+        noise[0, i] *= np.linalg.norm(ref[0, i]) / np.linalg.norm(noise[0, i]) / np.sqrt(10)
+    est = ref + noise
+    sdr, sir, sar, _ = si_bss_eval_sources(ref, est)
+    np.testing.assert_allclose(sdr[0], 10.0, atol=0.8)
+    # interference (other source) is only part of the noise -> SIR > SDR
+    assert (sir[0] > sdr[0]).all()
+
+
+def test_sir_pure_interference(rng):
+    """est = ref + scaled other source: artifact-free, so SAR is huge and
+    SIR matches the injected interference level."""
+    ref = _sources(rng)
+    est = ref.copy()
+    est[0, 0] += 0.1 * ref[0, 1]
+    sdr, sir, sar, _ = si_bss_eval_sources(ref, est, clamp_db=100)
+    assert sar[0, 0] >= 99.0  # no artifacts
+    np.testing.assert_allclose(sir[0, 0], 20.0, atol=1.0)  # 0.1 -> 20 dB
+
+
+def test_si_sdr_loss_module(rng):
+    ref = jnp.asarray(_sources(rng).astype(np.float32))
+    noise = jnp.asarray(rng.standard_normal(ref.shape).astype(np.float32))
+    est = ref + 0.1 * noise
+    loss = SISDRLoss(zero_mean=True, clamp_db=30, reduction="mean", sign_flip=True)
+    v = float(loss(est, ref))
+    assert 15 < v <= 30
+    # permuted estimate gives the same PIT value
+    v2 = float(loss(est[:, ::-1, :], ref))
+    np.testing.assert_allclose(v, v2, rtol=1e-4)
+
+
+def test_si_sdr_pit_vs_bss_eval(rng):
+    """The jax PIT SI-SDR and the numpy bss-eval SDR agree on aligned
+    estimates."""
+    ref = _sources(rng)
+    est = ref + 0.05 * rng.standard_normal(ref.shape)
+    vals = np.asarray(si_sdr_pit(jnp.asarray(est), jnp.asarray(ref)))
+    sdr, *_ = si_bss_eval_sources(ref, est)
+    np.testing.assert_allclose(vals[0], sdr[0], atol=0.1)
+
+
+def test_stoi_clean_vs_noisy(rng):
+    fs = 8000
+    t = np.arange(fs * 2) / fs
+    # speech-like: sum of AM-modulated tones
+    clean = np.sin(2 * np.pi * 220 * t) * (1 + np.sin(2 * np.pi * 4 * t))
+    clean += 0.5 * np.sin(2 * np.pi * 800 * t) * (1 + np.sin(2 * np.pi * 7 * t))
+    noisy = clean + 2.0 * rng.standard_normal(len(t))
+    s_clean = stoi(clean, clean, fs)
+    s_noisy = stoi(clean, noisy, fs)
+    assert s_clean > 0.99
+    assert s_noisy < s_clean
+    e_clean = stoi(clean, clean, fs, extended=True)
+    e_noisy = stoi(clean, noisy, fs, extended=True)
+    assert e_clean > 0.95 and e_noisy < e_clean
