@@ -1,0 +1,129 @@
+"""Shared evaluation helpers (metrics, summaries, sample/figure saving).
+
+Capability parity with evaluate.py:29-161 (save_fig, save_samples,
+compute_metrics, summarize) with the same result-JSON schema per utterance:
+{batch_idx, si_sdr, si_sir, si_sar, pesq, stoi, nfe, runtime, len_s}
+(evaluate.py:394-406).
+"""
+from __future__ import annotations
+
+import logging
+from collections import defaultdict
+from pathlib import Path
+
+import numpy as np
+
+from ..data.audio_io import save_wav
+from ..models.metrics import si_bss_eval_sources, stoi
+
+log = logging.getLogger(__name__)
+
+
+def compute_metrics(ref, est, fs, pesq_mode="nb", stoi_extended=True, n_src=2):
+    """(si_sdr, si_sir, si_sar, pesq, stoi, perm) for one batch
+    (evaluate.py:103-131). PESQ degrades gracefully when the optional
+    package is missing."""
+    ref = np.asarray(ref)
+    est = np.asarray(est)
+    si_sdr, si_sir, si_sar, perm = si_bss_eval_sources(
+        ref, est, zero_mean=False, compute_permutation=True, clamp_db=100
+    )
+    est = est[:, perm[0], :]
+
+    p_esq, s_toi = [], []
+    for src in range(n_src):
+        try:
+            from pesq import pesq as _pesq
+
+            p_esq.append(float(_pesq(fs, ref[0, src], est[0, src], pesq_mode)))
+        except ImportError:
+            p_esq.append(float("nan"))
+        s_toi.append(float(stoi(ref[0, src], est[0, src], fs, extended=stoi_extended)))
+
+    return (
+        si_sdr[..., :n_src],
+        si_sir[..., :n_src],
+        si_sar[..., :n_src],
+        p_esq,
+        s_toi,
+        perm,
+    )
+
+
+def summarize(results):
+    """Average every metric over utterances (evaluate.py:148-161)."""
+    metrics = set()
+    summary = defaultdict(lambda: 0.0)
+    for res in results:
+        for met, val in res.items():
+            metrics.add(met)
+            summary[met] += np.nanmean(val)
+        summary["number"] += 1
+    for met in metrics:
+        summary[met] = float(summary[met] / summary["number"])
+    summary["number"] = int(summary["number"])
+    return dict(summary)
+
+
+def save_samples(mix, x_result, target, wav_out_dir, fs, batch_idx):
+    """Normalized mix/estimates/targets wavs (evaluate.py:64-100)."""
+    wav_out_dir = Path(wav_out_dir)
+    wav_out_dir.mkdir(parents=True, exist_ok=True)
+    mix = np.asarray(mix)[0]
+    est = np.asarray(x_result)[0]
+    tgt = np.asarray(target)[0]
+    all_wav = np.concatenate((mix, est, tgt), axis=0)
+    all_wav = all_wav * (0.95 / np.abs(all_wav).max())
+    names = (
+        ["mix"]
+        + [f"enh{i}" for i in range(est.shape[0])]
+        + [f"tgt{i}" for i in range(tgt.shape[0])]
+    )
+    for row, name in zip(all_wav, names):
+        save_wav(wav_out_dir / f"{batch_idx:03d}_{name}.wav", row[None], fs)
+
+
+def save_fig(
+    x_result, intmet, target, fig_out_dir, batch_idx, n_fig=6, vmin=-75, vmax=0
+):
+    """Spectrogram-evolution PDF across the reverse process
+    (evaluate.py:29-61). `intmet` is the stacked (N, 2, B, src, T) array
+    produced by pc_sample(intermediate=True)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig_out_dir = Path(fig_out_dir)
+    fig_out_dir.mkdir(parents=True, exist_ok=True)
+    x_result = np.asarray(x_result)
+    target = np.asarray(target)
+    n_src = target.shape[1]
+
+    n_steps = len(intmet)
+    steps = np.round(np.linspace(0, 1, n_fig) * (n_steps - 1)).astype(np.int64)
+    fig, axes = plt.subplots(n_src, n_fig + 1, figsize=(20, 4))
+    im = None
+    for idx, step in enumerate(steps):
+        arr = np.asarray(intmet[step][0])
+        for i in range(n_src):
+            *_, im = axes[i, idx].specgram(arr[0, i], vmin=vmin, vmax=vmax)
+            axes[i, idx].set_xticks([])
+            axes[i, idx].set_yticks([])
+            if i == 0:
+                axes[i, idx].set_title(
+                    f"t={(n_steps - 1 - step) / (n_steps - 1):.2f}"
+                )
+    for i in range(n_src):
+        tgt = target[0, i] + np.random.randn(*target[0, i].shape) * 1e-10
+        *_, im = axes[i, -1].specgram(tgt, vmin=vmin, vmax=vmax)
+        axes[i, -1].set_xticks([])
+        axes[i, -1].set_yticks([])
+        if i == 0:
+            axes[i, -1].set_title("clean")
+    fig.tight_layout()
+    fig.subplots_adjust(right=0.8)
+    cbar_ax = fig.add_axes([0.85, 0.15, 0.05, 0.7])
+    fig.colorbar(im, cax=cbar_ax)
+    fig.savefig(fig_out_dir / f"evo_{batch_idx:03d}.pdf")
+    plt.close(fig)

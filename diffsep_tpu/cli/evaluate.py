@@ -1,0 +1,266 @@
+"""Single-process evaluation CLI.
+
+Capability parity with the reference evaluate.py: per-utterance PC
+separation with wall-clock timing, SI-SDR/SI-SIR/SI-SAR (+ PESQ when
+available, + STOI), per-sample JSON + summary JSON with the reference's
+schema and inference-variant directory tag
+`N-.._snr-.._corrstep-.._denoise-.._schedule-..` (evaluate.py:306), the
+`__no_proc__` sentinel scoring the raw mixture (243-254), and `--enhance`
+mode over the VCTK-DEMAND test set (268-271).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import yaml
+
+from ..config.compose import ConfigNode
+from ..data import DataLoader, NoisyDataset, WSJ0_mix
+from ..train.losses import normalize_batch
+from .eval_common import compute_metrics, save_fig, save_samples, summarize
+from .loading import _config_from_hparams, load_model
+
+log = logging.getLogger(__name__)
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(
+        description="Run evaluation on validation or test dataset"
+    )
+    parser.add_argument("ckpt", type=Path, help="Path to checkpoint to use")
+    parser.add_argument(
+        "-o", "--output_dir", type=Path, default=Path("results"),
+        help="The output folder",
+    )
+    parser.add_argument(
+        "--enhance", default=False, action="store_true",
+        help="Compute evaluation metrics for speech enhancement",
+    )
+    parser.add_argument(
+        "--tag", type=str,
+        help="A tag name for the experiment (default: experiment+ckpt name)",
+    )
+    parser.add_argument(
+        "-l", "--limit", type=int, help="Limit the number of samples to process"
+    )
+    parser.add_argument(
+        "--save-n", type=int,
+        help="Save a limited number of output samples (default: save all)",
+    )
+    parser.add_argument("--val", action="store_true", help="Run on validation dataset")
+    parser.add_argument("--test", action="store_true", help="Run on test dataset")
+    parser.add_argument("-N", type=int, default=None, help="Number of steps")
+    parser.add_argument("--snr", type=float, default=None, help="Corrector snr")
+    parser.add_argument(
+        "--corrector-steps", type=int, default=None, help="Number of corrector steps"
+    )
+    parser.add_argument(
+        "--denoise", type=bool, default=True, help="Use denoising in solver"
+    )
+    parser.add_argument(
+        "--pesq-mode", type=str, choices=["nb", "wb"], default="nb",
+        help="Mode for PESQ 'wb' or 'nb'",
+    )
+    parser.add_argument(
+        "--stoi-no-extended", action="store_true", help="Disable extended STOI"
+    )
+    parser.add_argument(
+        "-s", "--schedule", type=str, default=None,
+        help="Pick a different schedule for the inference",
+    )
+    parser.add_argument("--seed", type=int, default=0)
+    return parser
+
+
+def evaluate_split(
+    model,
+    params,
+    dataset,
+    split,
+    output_dir: Path,
+    fs: int,
+    n_src: int = 2,
+    limit=None,
+    save_n=None,
+    sampler_kwargs=None,
+    pesq_mode="nb",
+    stoi_extended=True,
+    no_proc=False,
+    seed=0,
+):
+    """Evaluate one split; writes {split}.json and {split}_summary.json."""
+    output_dir.mkdir(parents=True, exist_ok=True)
+    fig_dir = output_dir / "fig" / split
+    wav_dir = output_dir / "wav" / split
+
+    dl = DataLoader(dataset, batch_size=1, shuffle=False)
+    results = []
+    key = jax.random.PRNGKey(seed)
+    sampler_kwargs = dict(sampler_kwargs or {})
+
+    log.info("Processing %s: %d samples", split, len(dl))
+    for batch_idx, (mix, target) in enumerate(dl):
+        if limit is not None and batch_idx >= limit:
+            break
+        save_samples_fig = save_n is None or batch_idx < save_n
+        mix = jnp.asarray(mix)
+        target = jnp.asarray(target)
+        length = target.shape[-1] / fs
+
+        if no_proc:
+            x_result = jnp.broadcast_to(mix, target.shape)
+            nfe, intmet, t_proc = 0, None, 0.0
+            save_samples_fig = False
+        else:
+            (mix, target), _, _ = normalize_batch(mix, target)
+            sampler = model.get_pc_sampler(
+                "reverse_diffusion",
+                "ald2",
+                mix,
+                params,
+                key=jax.random.fold_in(key, batch_idx),
+                intermediate=save_samples_fig,
+                **sampler_kwargs,
+            )
+            t_s = time.perf_counter()
+            out = sampler()
+            x_result, nfe, *others = jax.block_until_ready(out)
+            t_proc = time.perf_counter() - t_s
+            intmet = others[0] if others else None
+
+        si_sdr, si_sir, si_sar, p_esq, s_toi, perm = compute_metrics(
+            target, x_result, fs,
+            pesq_mode=pesq_mode, stoi_extended=stoi_extended, n_src=n_src,
+        )
+        x_result = np.asarray(x_result)[:, perm[0], :]
+
+        results.append(
+            {
+                "batch_idx": batch_idx,
+                "si_sdr": si_sdr.tolist()[0][:n_src],
+                "si_sir": si_sir.tolist()[0][:n_src],
+                "si_sar": si_sar.tolist()[0][:n_src],
+                "pesq": p_esq,
+                "stoi": s_toi,
+                "nfe": int(np.asarray(nfe).ravel()[0]) if not no_proc else 0,
+                "runtime": t_proc,
+                "len_s": float(length),
+            }
+        )
+        msg = " ".join(
+            f"{met}={np.nanmean(val):.3f}"
+            for met, val in results[-1].items()
+            if met != "batch_idx"
+        )
+        log.info("%s %s", split, msg)
+
+        if save_samples_fig:
+            if intmet is not None:
+                intmet = np.asarray(intmet)[:, :, :, perm[0], :]
+            save_samples(mix, x_result, target, wav_dir, fs, batch_idx)
+            if intmet is not None:
+                save_fig(x_result, intmet, target, fig_dir, batch_idx)
+
+    with open(output_dir / f"{split}.json", "w") as f:
+        json.dump(results, f, indent=2)
+    summary = summarize([{k: v for k, v in r.items() if k != "batch_idx"} for r in results])
+    with open(output_dir / f"{split}_summary.json", "w") as f:
+        json.dump(summary, f, indent=2)
+    return results, summary
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO)
+    args = build_parser().parse_args(argv)
+    if not (args.val or args.test):
+        build_parser().error("No action requested, add --val or --test")
+
+    no_proc = str(args.ckpt) == "__no_proc__"
+    datasets = {}
+
+    if no_proc:
+        path, n_spkr, cut = "data/wsj0_mix", 2, "max"
+        if args.val:
+            datasets["val"] = WSJ0_mix(path=path, n_spkr=n_spkr, cut=cut, split="val", fs=8000)
+        if args.test:
+            datasets["test"] = WSJ0_mix(path=path, n_spkr=n_spkr, cut=cut, split="test", fs=8000)
+        model, params, sampler_kwargs, fs, n_src = None, None, {}, 8000, 2
+        output_dir = args.output_dir / (args.tag or "mix")
+    else:
+        model, params = load_model(args.ckpt)
+        cfg = model.config
+        fs = int(cfg.model.fs)
+
+        if args.enhance:
+            ds_cfg = dict(cfg.datamodule["test"]["dataset"])
+            ds_cfg.pop("_target_", None)
+            datasets["test"] = NoisyDataset(**ds_cfg)
+            n_src = 1
+        else:
+            for split in ("val", "test"):
+                if not getattr(args, split):
+                    continue
+                ds_cfg = dict(cfg.datamodule[split]["dataset"])
+                ds_cfg.pop("_target_", None)
+                if not Path(ds_cfg["path"]).exists():
+                    ds_cfg["path"] = "./data/wsj0_mix"
+                datasets[split] = WSJ0_mix(**ds_cfg)
+            n_src = 2
+
+        sk = dict(cfg.model.get("sampler", {}) or {})
+        N = sk.get("N", 30) if args.N is None else args.N
+        corrector_steps = (
+            sk.get("corrector_steps", 1)
+            if args.corrector_steps is None
+            else args.corrector_steps
+        )
+        snr = sk.get("snr", 0.5) if args.snr is None else args.snr
+        sampler_kwargs = dict(
+            N=N, snr=snr, corrector_steps=corrector_steps,
+            denoise=args.denoise, schedule=args.schedule,
+        )
+        tag_inf = (
+            f"N-{N}_snr-{snr}_corrstep-{corrector_steps}"
+            f"_denoise-{args.denoise}_schedule-{args.schedule}"
+        )
+        exp_name = (
+            args.ckpt.parents[1].name if args.ckpt.is_file() else Path(args.ckpt).name
+        )
+        tag = args.tag or f"{exp_name}_{Path(args.ckpt).stem}"
+        if len(tag) > 80:  # keep names filesystem-safe
+            import hashlib
+
+            tag = tag[:64] + "-" + hashlib.sha1(tag.encode()).hexdigest()[:8]
+        output_dir = args.output_dir / f"{tag}_{tag_inf}"
+
+    for split, ds in datasets.items():
+        evaluate_split(
+            model, params, ds, split, output_dir,
+            fs=fs, n_src=n_src, limit=args.limit, save_n=args.save_n,
+            sampler_kwargs=sampler_kwargs,
+            pesq_mode=args.pesq_mode,
+            stoi_extended=not args.stoi_no_extended,
+            no_proc=no_proc, seed=args.seed,
+        )
+
+
+def evaluate_datamodule(model, state, dm, output_dir):
+    """Post-training test hook used by cli/train.py (test=true)."""
+    params = state.ema.params if state is not None else None
+    fs = int(model.config.model.fs)
+    evaluate_split(
+        model, params, dm.datasets.get("test") or dm.test_dataloader().dataset,
+        "test", Path(output_dir), fs=fs,
+        sampler_kwargs=dict(model.sampler_kwargs),
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,127 @@
+"""Model/checkpoint loading shared by the inference CLIs.
+
+Handles three checkpoint flavors:
+  * a diffsep_tpu run directory (contains hparams.yaml + checkpoints/) —
+    restores the best (or latest) orbax checkpoint,
+  * a specific orbax step directory (run_dir/checkpoints/<step>),
+  * a reference PyTorch Lightning checkpoint (.ckpt/.pt, e.g. the HF
+    `fakufaku/diffsep` weights, separate.py:25-48) — converts the score
+    network and its EMA shadow weights on the fly.
+
+Returns (model, params) where params are the *evaluation* weights: EMA if
+available (the reference swaps EMA in on eval(), pl_model.py:650-670).
+"""
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+import yaml
+
+from ..config.compose import ConfigNode
+from ..model import DiffSepModel
+
+log = logging.getLogger(__name__)
+
+
+def _config_from_hparams(hparams: dict) -> ConfigNode:
+    cfg = hparams["config"] if "config" in hparams else hparams
+    cfg = ConfigNode.wrap(cfg)
+    # reference hparams carry torch _target_ paths; rewrite to ours
+    remap = {
+        "models.score_models.ScoreModelNCSNpp": "diffsep_tpu.models.ScoreModelNCSNpp",
+        "models.ncsnpp.NCSNpp": "diffsep_tpu.models.NCSNpp",
+        "sdes.sdes.MixSDE": "diffsep_tpu.sde.MixSDE",
+        "sdes.sdes.PriorMixSDE": "diffsep_tpu.sde.PriorMixSDE",
+        "sdes.sdes.OUVESDE": "diffsep_tpu.sde.OUVESDE",
+        "sdes.sdes.OUVPSDE": "diffsep_tpu.sde.OUVPSDE",
+        "models.losses.SISDRLoss": "diffsep_tpu.models.losses.SISDRLoss",
+        "models.losses.PESQ": "diffsep_tpu.models.losses.PESQ",
+        "utils.FixedClipper": "diffsep_tpu.train.clippers.FixedClipper",
+        "utils.AutoClipper": "diffsep_tpu.train.clippers.AutoClipper",
+        "torch.optim.Adam": "adam",
+        "torch.nn.MSELoss": "mse",
+    }
+
+    def walk(node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                if k == "_target_" and v in remap:
+                    node[k] = remap[v]
+                else:
+                    walk(v)
+        elif isinstance(node, list):
+            for v in node:
+                walk(v)
+
+    walk(cfg)
+    return cfg
+
+
+def load_torch_checkpoint(path: Path) -> Tuple[DiffSepModel, dict]:
+    import torch
+
+    ckpt = torch.load(str(path), map_location="cpu", weights_only=False)
+    hp = ckpt.get("hyper_parameters", {})
+    cfg = _config_from_hparams(hp)
+    model = DiffSepModel(cfg)
+
+    state_dict = ckpt["state_dict"]
+    ema = ckpt.get("ema")
+    from ..models.convert import (
+        convert_backbone_state_dict,
+        convert_ema_backbone,
+    )
+
+    if ema is not None and "shadow_params" in ema:
+        log.info("using EMA shadow weights from checkpoint")
+        backbone = convert_ema_backbone(state_dict, ema["shadow_params"])
+    else:
+        backbone = convert_backbone_state_dict(
+            state_dict, prefix="score_model.backbone."
+        )
+    params = {"backbone": backbone}
+    return model, params
+
+
+def load_model(
+    ckpt: str | Path, step: Optional[int] = None, use_ema: bool = True
+) -> Tuple[DiffSepModel, dict]:
+    ckpt = Path(ckpt)
+    if ckpt.is_file():
+        return load_torch_checkpoint(ckpt)
+
+    # run-dir or step-dir layout
+    if (ckpt / "hparams.yaml").exists():
+        run_dir = ckpt
+    elif (ckpt.parents[1] / "hparams.yaml").exists():  # evaluate.py:262 layout
+        run_dir = ckpt.parents[1]
+        if step is None and ckpt.name.isdigit():
+            step = int(ckpt.name)
+    else:
+        raise FileNotFoundError(f"no hparams.yaml found near {ckpt}")
+
+    with open(run_dir / "hparams.yaml") as f:
+        cfg = _config_from_hparams(yaml.safe_load(f))
+    model = DiffSepModel(cfg)
+
+    from ..train.checkpoints import CheckpointManager
+
+    mgr = CheckpointManager(run_dir / "checkpoints", best_symlink=False)
+    if step is None:
+        step = mgr.best_step() or mgr.latest_step()
+
+    # build an abstract state template to restore into
+    import jax.numpy as jnp
+
+    fs = int(cfg.model.fs)
+    mix0 = jnp.zeros((1, 1, fs), jnp.float32)
+    tgt0 = jnp.zeros((1, int(cfg.model.n_speakers), fs), jnp.float32)
+    state = model.init_state(jax.random.PRNGKey(0), mix0, tgt0)
+    state = mgr.restore(jax.device_get(state), step=step)
+    mgr.close()
+    params = state.ema.params if use_ema else state.params
+    return model, params

@@ -21,7 +21,18 @@ log = logging.getLogger(__name__)
 
 def make_run_dir(cfg, overrides) -> Path:
     ts = datetime.datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
-    tag = "_".join(o.replace("/", ".") for o in overrides if "=" in o)
+    tag = "_".join(
+        o.replace("/", ".")
+        for o in overrides
+        if "=" in o and not o.startswith("path.")
+    )
+    # glob metacharacters ([, ], *, ?) in the path break orbax's OCDBT
+    # per-process merge — strip them from override-derived names
+    tag = "".join(c for c in tag if c not in "[]*?,' \"")
+    if len(tag) > 120:  # keep run-dir names filesystem-safe
+        import hashlib
+
+        tag = tag[:100] + "-" + hashlib.sha1(tag.encode()).hexdigest()[:8]
     d = Path(cfg.path.exp_root) / str(cfg.name) / (f"{ts}_{tag}" if tag else ts)
     d.mkdir(parents=True, exist_ok=True)
     return d

@@ -30,15 +30,17 @@ class WSJ0_mix_Module:
         self.pad_to_multiple = pad_to_multiple
         self.datasets = {}
 
-    def setup(self):
-        for split in self.cfg.datamodule:
-            node = self.cfg.datamodule[split]
-            if isinstance(node, dict) and "dataset" in node:
+    def setup(self, splits=("train", "val", "test")):
+        # lazy per-split instantiation: extra eval splits (libri-clean/
+        # libri-noisy) are only touched when actually requested
+        for split in splits:
+            node = self.cfg.datamodule.get(split)
+            if split not in self.datasets and node and "dataset" in node:
                 self.datasets[split] = instantiate(node["dataset"])
 
     def _get(self, split):
-        if not self.datasets:
-            self.setup()
+        if split not in self.datasets:
+            self.setup((split,))
         return _dl(
             self.datasets[split],
             self.cfg.datamodule[split].get("dl_opts"),

@@ -96,6 +96,41 @@ def convert_backbone_state_dict(
     return params
 
 
+def convert_ema_backbone(
+    state_dict: Mapping[str, Any],
+    shadow_params,
+    prefix: str = "score_model.backbone.",
+) -> Dict[str, Any]:
+    """Convert a torch_ema shadow-parameter list into flax backbone params.
+
+    The reference embeds EMA state in every checkpoint
+    (pl_model.py:672-673) as `ema.shadow_params`, an ordered list over
+    `[p for p in model.parameters() if p.requires_grad]`. Parameter order
+    equals state_dict key order restricted to trainable parameters — i.e.
+    all keys except buffers (the STFT windows under `score_model.stft*`)
+    and the frozen GaussianFourierProjection W (layerspp.py:37,
+    `all_modules.0.W`).
+    """
+    trainable_keys = []
+    for key in state_dict.keys():
+        if ".stft" in key:
+            continue  # Spectrogram/InverseSpectrogram window buffers
+        if key.endswith("all_modules.0.W"):
+            continue  # frozen Fourier projection
+        trainable_keys.append(key)
+    if len(trainable_keys) != len(shadow_params):
+        raise ValueError(
+            f"EMA shadow list has {len(shadow_params)} entries but "
+            f"{len(trainable_keys)} trainable parameters were found"
+        )
+    ema_sd = dict(zip(trainable_keys, shadow_params))
+    # the frozen W is not EMA-averaged; take it from the raw state_dict
+    for key, tensor in state_dict.items():
+        if key.endswith("all_modules.0.W"):
+            ema_sd[key] = tensor
+    return convert_backbone_state_dict(ema_sd, prefix)
+
+
 def convert_score_model_state_dict(
     state_dict: Mapping[str, Any], backbone_prefix: str = "backbone."
 ) -> Dict[str, Any]:

@@ -61,6 +61,14 @@ class CheckpointManager:
         metrics = {
             k: float(v) for k, v in (metrics or {}).items() if np.isfinite(v)
         }
+        # Deep-copy to host: XLA CSE can make distinct logical leaves (e.g.
+        # state.step and ema.num_updates, both `old + 1`) share one device
+        # buffer, which orbax then deduplicates — silently dropping a leaf
+        # from the store and breaking restore. Independent host copies make
+        # every leaf a distinct array.
+        state = jax.tree_util.tree_map(
+            lambda x: np.array(x, copy=True), jax.device_get(state)
+        )
         self._mgr.save(
             step, args=ocp.args.StandardSave(state), metrics=metrics or None
         )

@@ -24,8 +24,12 @@ class EMAState(NamedTuple):
 
 
 def init(params) -> EMAState:
+    # copy (not alias) so params and shadow stay distinct buffers — aliased
+    # buffers break donation in the jitted train step
     return EMAState(
-        params=jax.tree_util.tree_map(jnp.asarray, params),
+        params=jax.tree_util.tree_map(
+            lambda x: jnp.array(x, copy=True), params
+        ),
         num_updates=jnp.zeros((), jnp.int32),
     )
 

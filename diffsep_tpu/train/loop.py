@@ -75,6 +75,8 @@ def fit(
     cfg_trainer = model.config.get("trainer", {}) or {}
     if max_epochs is None:
         max_epochs = int(cfg_trainer.get("max_epochs", 1000))
+    if max_steps is None and cfg_trainer.get("max_steps") is not None:
+        max_steps = int(cfg_trainer.get("max_steps"))
     check_val_every_n_epoch = int(
         cfg_trainer.get("check_val_every_n_epoch", check_val_every_n_epoch)
     )

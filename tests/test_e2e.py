@@ -1,0 +1,141 @@
+"""End-to-end slice: train a tiny model via the CLI on a synthetic WSJ0-mix
+tree, checkpoint it, then evaluate and separate with the saved run dir —
+the full config -> model -> SDE -> sampler -> audio I/O path on CPU.
+"""
+import json
+import os
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from diffsep_tpu.data import save_wav
+
+
+@pytest.fixture(scope="module")
+def wsj0_tree(tmp_path_factory):
+    rng = np.random.default_rng(0)
+    root = tmp_path_factory.mktemp("wsj0")
+    for split in ["tr", "cv", "tt"]:
+        base = root / f"2speakers/wav8k/max/{split}"
+        for d in ["mix", "s1", "s2"]:
+            (base / d).mkdir(parents=True)
+        for i in range(2):
+            L = 4800 + 800 * i
+            s1 = rng.standard_normal((1, L)).astype(np.float32) * 0.1
+            s2 = rng.standard_normal((1, L)).astype(np.float32) * 0.1
+            save_wav(base / f"s1/f{i}.wav", s1, 8000)
+            save_wav(base / f"s2/f{i}.wav", s2, 8000)
+            save_wav(base / f"mix/f{i}.wav", s1 + s2, 8000)
+    return root
+
+
+def _tiny_overrides(wsj0_tree, exp_root):
+    return [
+        f"path.datasets.wsj0_mix={wsj0_tree}",
+        f"path.exp_root={exp_root}",
+        "model.score_model.backbone_args.nf=8",
+        "model.score_model.backbone_args.ch_mult=[1,2]",
+        "model.score_model.backbone_args.num_res_blocks=1",
+        "model.score_model.backbone_args.attn_resolutions=[16]",
+        "model.score_model.backbone_args.image_size=64",
+        "model.score_model.stft_args.n_fft=126",
+        "model.score_model.stft_args.hop_length=32",
+        "model.sampler.N=2",
+        "model.valid_max_sep_batches=1",
+        "trainer.max_epochs=1",
+        "trainer.max_steps=2",
+        "trainer.accumulate_grad_batches=1",
+        "trainer.devices=1",
+        "trainer.check_val_every_n_epoch=1",
+        "datamodule.train.dl_opts.batch_size=2",
+        "datamodule.train.dataset.max_len_s=0.5",
+        "datamodule.val.dl_opts.batch_size=2",
+        "datamodule.test.dl_opts.batch_size=2",
+    ]
+
+
+@pytest.fixture(scope="module")
+def trained_run_dir(wsj0_tree, tmp_path_factory):
+    from diffsep_tpu.cli.train import main
+
+    exp_root = tmp_path_factory.mktemp("exp")
+    os.environ["PYTHONHASHSEED"] = "0"
+    main(_tiny_overrides(wsj0_tree, exp_root))
+    runs = sorted((exp_root / "default").iterdir())
+    assert runs, "no run dir created"
+    return runs[-1]
+
+
+def test_train_creates_artifacts(trained_run_dir):
+    assert (trained_run_dir / "hparams.yaml").exists()
+    ckpts = trained_run_dir / "checkpoints"
+    steps = [p for p in ckpts.iterdir() if p.name.isdigit()]
+    assert steps, "no checkpoint saved"
+    assert (ckpts / "best-model").exists()
+
+
+def test_evaluate_cli(trained_run_dir, tmp_path):
+    from diffsep_tpu.cli.evaluate import main
+
+    out = tmp_path / "results"
+    main(
+        [
+            str(trained_run_dir),
+            "--test",
+            "-o", str(out),
+            "--limit", "1",
+            "-N", "2",
+            "--save-n", "0",
+        ]
+    )
+    out_dirs = list(out.iterdir())
+    assert len(out_dirs) == 1
+    res = json.loads((out_dirs[0] / "test.json").read_text())
+    assert len(res) == 1
+    for k in ["si_sdr", "si_sir", "si_sar", "stoi", "nfe", "runtime", "len_s"]:
+        assert k in res[0]
+    assert res[0]["nfe"] == 4  # N * (corrector_steps + 1)
+    summary = json.loads((out_dirs[0] / "test_summary.json").read_text())
+    assert summary["number"] == 1
+
+
+def test_separate_cli(trained_run_dir, wsj0_tree, tmp_path):
+    from diffsep_tpu.cli.separate import main
+
+    in_dir = wsj0_tree / "2speakers/wav8k/max/tt/mix"
+    out_dir = tmp_path / "sep"
+    main(
+        [
+            str(in_dir),
+            str(out_dir),
+            "--model", str(trained_run_dir),
+            "-N", "2",
+        ]
+    )
+    for s in ["s0", "s1"]:
+        wavs = list((out_dir / s).glob("*.wav"))
+        assert len(wavs) == 2, f"missing outputs in {s}"
+
+
+def test_resume_from_checkpoint(trained_run_dir, wsj0_tree):
+    """Checkpoint restore round-trips the full TrainState."""
+    import jax
+    import jax.numpy as jnp
+    import yaml
+
+    from diffsep_tpu.cli.loading import _config_from_hparams
+    from diffsep_tpu.model import DiffSepModel
+    from diffsep_tpu.train.checkpoints import CheckpointManager
+
+    with open(trained_run_dir / "hparams.yaml") as f:
+        cfg = _config_from_hparams(yaml.safe_load(f))
+    model = DiffSepModel(cfg)
+    mix0 = jnp.zeros((1, 1, 4000))
+    tgt0 = jnp.zeros((1, 2, 4000))
+    state = model.init_state(jax.random.PRNGKey(1), mix0, tgt0)
+    mgr = CheckpointManager(trained_run_dir / "checkpoints", best_symlink=False)
+    restored = mgr.restore(jax.device_get(state))
+    assert int(restored.step) >= 1
+    assert int(restored.ema.num_updates) == int(restored.step)
+    mgr.close()
