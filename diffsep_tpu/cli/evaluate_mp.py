@@ -1,0 +1,198 @@
+"""Multi-device sharded evaluation CLI.
+
+Capability parity with the reference evaluate_mp.py: dataset index ranges
+are split per device (evaluate_mp.py:465-503), each shard is evaluated
+independently, and per-task results are merged by task id into
+{split}.json + {split}_summary.json with the inference-variant dirname
+`N-.._snr-.._corrstep-.._denoise-.._schedule-..` (evaluate_mp.py:447).
+
+TPU-native redesign (SURVEY.md §2.8): the reference spawns one OS process
+per CUDA device with its own model copy; here one process drives every
+device — parameters are placed on each device once, a worker thread per
+device streams its index range through the jitted sampler (JAX's async
+dispatch overlaps device compute across threads), and CPU metrics run in a
+host thread pool. Splits supported: test, val, libri-clean, libri-noisy
+(evaluate_mp.py:381-387).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import threading
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import DataLoader, WSJ0_mix
+from ..train.losses import normalize_batch
+from .eval_common import compute_metrics, summarize
+from .loading import load_model
+
+log = logging.getLogger(__name__)
+
+
+def make_tasks(n_items: int, n_workers: int):
+    """Split range(n_items) into contiguous (start, stop) per worker
+    (evaluate_mp.py:465-503 round-robin equivalent)."""
+    per = -(-n_items // n_workers)
+    tasks = []
+    for w in range(n_workers):
+        start, stop = w * per, min((w + 1) * per, n_items)
+        if start < stop:
+            tasks.append((start, stop))
+    return tasks
+
+
+def evaluate_range(
+    model, params, dataset, start, stop, device, fs, n_src,
+    sampler_kwargs, pesq_mode, stoi_extended, seed,
+):
+    """Evaluate dataset[start:stop] on one device; returns list of dicts."""
+    d_params = jax.device_put(params, device)
+    results = []
+    key = jax.random.PRNGKey(seed)
+    for idx in range(start, stop):
+        mix, target = dataset[idx]
+        mix = jax.device_put(jnp.asarray(mix)[None], device)
+        target = jnp.asarray(target)[None]
+        length = target.shape[-1] / fs
+
+        (mix_n, _), mean, std = normalize_batch(mix, None)
+        t_s = time.perf_counter()
+        sampler = model.get_pc_sampler(
+            "reverse_diffusion", "ald2", mix_n, d_params,
+            key=jax.random.fold_in(key, idx), **sampler_kwargs,
+        )
+        x_result, nfe = jax.block_until_ready(sampler())
+        t_proc = time.perf_counter() - t_s
+        # compare in the normalized domain like the reference
+        target_n = (target - np.asarray(mean)) / np.asarray(std)
+
+        si_sdr, si_sir, si_sar, p_esq, s_toi, perm = compute_metrics(
+            target_n, np.asarray(x_result), fs,
+            pesq_mode=pesq_mode, stoi_extended=stoi_extended, n_src=n_src,
+        )
+        results.append(
+            {
+                "batch_idx": idx,
+                "si_sdr": si_sdr.tolist()[0][:n_src],
+                "si_sir": si_sir.tolist()[0][:n_src],
+                "si_sar": si_sar.tolist()[0][:n_src],
+                "pesq": p_esq,
+                "stoi": s_toi,
+                "nfe": int(np.asarray(nfe).ravel()[0]),
+                "runtime": t_proc,
+                "len_s": float(length),
+            }
+        )
+        log.info(
+            "%s[%d] si_sdr=%.2f runtime=%.2fs", device, idx,
+            float(np.mean(si_sdr)), t_proc,
+        )
+    return results
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO)
+    parser = argparse.ArgumentParser(
+        description="Multi-device sharded evaluation"
+    )
+    parser.add_argument("ckpt", type=Path)
+    parser.add_argument("-o", "--output_dir", type=Path, default=Path("results"))
+    parser.add_argument(
+        "--splits", nargs="+",
+        default=["test"],
+        choices=["test", "val", "libri-clean", "libri-noisy"],
+    )
+    parser.add_argument(
+        "-d", "--device", type=int, nargs="+", default=None,
+        help="Device indices to use (default: all)",
+    )
+    parser.add_argument("-l", "--limit", type=int, default=None)
+    parser.add_argument("-N", type=int, default=None)
+    parser.add_argument("--snr", type=float, default=None)
+    parser.add_argument("--corrector-steps", type=int, default=None)
+    parser.add_argument("--denoise", type=bool, default=True)
+    parser.add_argument("-s", "--schedule", type=str, default=None)
+    parser.add_argument("--pesq-mode", choices=["nb", "wb"], default="nb")
+    parser.add_argument("--stoi-no-extended", action="store_true")
+    parser.add_argument("--tag", type=str, default=None)
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args(argv)
+
+    model, params = load_model(args.ckpt)
+    cfg = model.config
+    fs = int(cfg.model.fs)
+    n_src = int(cfg.model.n_speakers)
+
+    sk = dict(cfg.model.get("sampler", {}) or {})
+    N = sk.get("N", 30) if args.N is None else args.N
+    snr = sk.get("snr", 0.5) if args.snr is None else args.snr
+    corrector_steps = (
+        sk.get("corrector_steps", 1)
+        if args.corrector_steps is None
+        else args.corrector_steps
+    )
+    sampler_kwargs = dict(
+        N=N, snr=snr, corrector_steps=corrector_steps,
+        denoise=args.denoise, schedule=args.schedule,
+    )
+    tag_inf = (
+        f"N-{N}_snr-{snr}_corrstep-{corrector_steps}"
+        f"_denoise-{args.denoise}_schedule-{args.schedule}"
+    )
+    tag = args.tag or Path(args.ckpt).stem
+    output_dir = args.output_dir / f"{tag}_{tag_inf}"
+    output_dir.mkdir(parents=True, exist_ok=True)
+
+    devices = jax.devices()
+    if args.device is not None:
+        devices = [devices[i] for i in args.device]
+
+    for split in args.splits:
+        node = cfg.datamodule.get(split) or cfg.datamodule.get("test")
+        ds_cfg = dict(node["dataset"])
+        ds_cfg.pop("_target_", None)
+        dataset = WSJ0_mix(**ds_cfg)
+        n_items = len(dataset)
+        if args.limit is not None:
+            n_items = min(n_items, args.limit)
+
+        tasks = make_tasks(n_items, len(devices))
+        log.info("Processing %s: %d samples over %d devices",
+                 split, n_items, len(tasks))
+
+        all_results: list = [None] * len(tasks)
+        threads = []
+        for t_id, ((start, stop), device) in enumerate(zip(tasks, devices)):
+            def work(t_id=t_id, start=start, stop=stop, device=device):
+                all_results[t_id] = evaluate_range(
+                    model, params, dataset, start, stop, device, fs, n_src,
+                    sampler_kwargs, args.pesq_mode,
+                    not args.stoi_no_extended, args.seed,
+                )
+
+            th = threading.Thread(target=work)
+            th.start()
+            threads.append(th)
+        for th in threads:
+            th.join()
+
+        results = [r for chunk in all_results if chunk for r in chunk]
+        results.sort(key=lambda r: r["batch_idx"])
+        with open(output_dir / f"{split}.json", "w") as f:
+            json.dump(results, f, indent=2)
+        summary = summarize(
+            [{k: v for k, v in r.items() if k != "batch_idx"} for r in results]
+        )
+        with open(output_dir / f"{split}_summary.json", "w") as f:
+            json.dump(summary, f, indent=2)
+        log.info("%s summary: %s", split, summary)
+
+
+if __name__ == "__main__":
+    main()

@@ -118,6 +118,36 @@ def test_separate_cli(trained_run_dir, wsj0_tree, tmp_path):
         assert len(wavs) == 2, f"missing outputs in {s}"
 
 
+def test_evaluate_mp_cli(trained_run_dir, wsj0_tree, tmp_path, monkeypatch):
+    """Sharded evaluation: tasks split over devices, merged JSON outputs."""
+    import diffsep_tpu.cli.evaluate_mp as emp
+
+    monkeypatch.chdir(wsj0_tree.parent)
+    # point the dataset path into the synthetic tree via the saved hparams
+    out = tmp_path / "mp_results"
+    emp.main(
+        [
+            str(trained_run_dir),
+            "--splits", "test",
+            "-o", str(out),
+            "-N", "2",
+            "-l", "2",
+        ]
+    )
+    out_dirs = list(out.iterdir())
+    assert len(out_dirs) == 1
+    res = json.loads((out_dirs[0] / "test.json").read_text())
+    assert [r["batch_idx"] for r in res] == [0, 1]
+    assert (out_dirs[0] / "test_summary.json").exists()
+
+
+def test_make_tasks():
+    from diffsep_tpu.cli.evaluate_mp import make_tasks
+
+    assert make_tasks(10, 3) == [(0, 4), (4, 8), (8, 10)]
+    assert make_tasks(2, 8) == [(0, 1), (1, 2)]
+
+
 def test_resume_from_checkpoint(trained_run_dir, wsj0_tree):
     """Checkpoint restore round-trips the full TrainState."""
     import jax
