@@ -1,0 +1,33 @@
+"""Figure-script smoke tests (synthetic-data fallbacks)."""
+import json
+
+import numpy as np
+import pytest
+
+from diffsep_tpu.cli.figures import parse_name, sde_marginal_evolution, exp_inference
+
+
+def test_sde_marginal_evolution_synthetic(tmp_path):
+    sde_marginal_evolution(
+        ["--data", str(tmp_path / "missing"), "--out", str(tmp_path / "figs"),
+         "--limit", "2"]
+    )
+    assert (tmp_path / "figs" / "paper_sde_marginal_evolution.pdf").exists()
+
+
+def test_parse_name():
+    d = parse_name("exp_abc_N-30_snr-0.5_corrstep-1_denoise-True_schedule-None")
+    assert d == {"N": 30, "snr": 0.5, "corrstep": 1, "denoise": True,
+                 "schedule": None}
+
+
+def test_exp_inference(tmp_path):
+    base = tmp_path / "results" / "run"
+    for N in [10, 30]:
+        d = tmp_path / "results" / f"run_N-{N}_snr-0.5_corrstep-1_denoise-True_schedule-None"
+        d.mkdir(parents=True)
+        (d / "test_summary.json").write_text(
+            json.dumps({"si_sdr": 8.0 + N / 10, "pesq": 2.0 + N / 100})
+        )
+    exp_inference([str(base), "N", "--out", str(tmp_path / "figs")])
+    assert (tmp_path / "figs" / "exp_inference_N.pdf").exists()
