@@ -121,7 +121,12 @@ class DiffSepModel:
     # --- parameter / state management ---
     def init_params(self, key: jax.Array, example_mix: Array, example_tgt: Array):
         t = jnp.full((example_mix.shape[0],), 0.5)
-        variables = self.score_model.init(key, example_tgt, t, example_mix)
+        # jit the init: eager initialization dispatches thousands of single
+        # ops to the device (minutes over a remote TPU link); one compiled
+        # program initializes in seconds
+        variables = jax.jit(self.score_model.init)(
+            key, example_tgt, t, example_mix
+        )
         return variables["params"]
 
     def init_state(self, key, example_mix, example_tgt):

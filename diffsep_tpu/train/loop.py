@@ -77,6 +77,17 @@ def fit(
         max_epochs = int(cfg_trainer.get("max_epochs", 1000))
     if max_steps is None and cfg_trainer.get("max_steps") is not None:
         max_steps = int(cfg_trainer.get("max_steps"))
+
+    # NaN/inf sanitizer — the reference force-enables torch's (slow) anomaly
+    # detection (train.py:98); here it is the opt-in trainer.detect_anomaly
+    if cfg_trainer.get("detect_anomaly", False):
+        jax.config.update("jax_debug_nans", True)
+    # profiling: trainer.profiler = true writes a jax.profiler trace under
+    # the run dir (reference exposes Lightning's profiler flag, off by
+    # default, config/trainer/default.yaml:10)
+    profiling = bool(cfg_trainer.get("profiler", False))
+    if profiling:
+        jax.profiler.start_trace(str(workdir / "profile"))
     check_val_every_n_epoch = int(
         cfg_trainer.get("check_val_every_n_epoch", check_val_every_n_epoch)
     )
@@ -144,6 +155,8 @@ def fit(
         if stop:
             break
 
+    if profiling:
+        jax.profiler.stop_trace()
     logger.close()
     ckpt.close()
     return state

@@ -140,3 +140,39 @@ def test_parity_with_torch_reference(rng, reference_ncsnpp, overrides):
     assert ours.shape == ref.shape
     scale = np.abs(ref).max()
     np.testing.assert_allclose(ours, ref, atol=2e-4 * max(scale, 1.0), rtol=1e-3)
+
+
+def test_ema_shadow_conversion(reference_ncsnpp):
+    """EMA shadow-list -> flax params mapping (models/convert.py).
+
+    The HF checkpoint stores torch_ema shadow_params as an ordered list
+    over trainable parameters (pl_model.py:672-673); verify the order
+    reconstruction by converting a synthetic shadow list (2x each trainable
+    param) and checking every converted leaf doubled — except the frozen
+    Fourier W which must come through unscaled."""
+    import torch
+
+    from diffsep_tpu.models.convert import convert_ema_backbone
+
+    torch_model = reference_ncsnpp(**SMALL)
+    sd = {f"score_model.backbone.{k}": v for k, v in torch_model.state_dict().items()}
+    shadow = [
+        2.0 * p.detach().clone()
+        for p in torch_model.parameters()
+        if p.requires_grad
+    ]
+    ema_params = convert_ema_backbone(sd, shadow)
+    raw_params = convert_backbone_state_dict(torch_model.state_dict())
+
+    flat_e = jax.tree_util.tree_leaves_with_path(ema_params)
+    flat_r = dict(jax.tree_util.tree_leaves_with_path(raw_params))
+    checked = 0
+    for path, leaf in flat_e:
+        raw = flat_r[path]
+        name = jax.tree_util.keystr(path)
+        if "all_modules_0" in name and name.endswith("'W']"):
+            np.testing.assert_allclose(leaf, raw)  # frozen W not averaged
+        else:
+            np.testing.assert_allclose(leaf, 2.0 * raw, rtol=1e-6)
+        checked += 1
+    assert checked == len(flat_r)
