@@ -94,6 +94,7 @@ def evaluate_split(
     stoi_extended=True,
     no_proc=False,
     seed=0,
+    bucket_s: float = 1.0,
 ):
     """Evaluate one split; writes {split}.json and {split}_summary.json."""
     output_dir.mkdir(parents=True, exist_ok=True)
@@ -120,10 +121,18 @@ def evaluate_split(
             save_samples_fig = False
         else:
             (mix, target), _, _ = normalize_batch(mix, target)
+            # bucket the length so XLA compiles one program per bucket, not
+            # one per utterance (variable-length vs static shapes,
+            # SURVEY.md §7.3 item 5); stats are computed pre-padding and the
+            # zero tail matches the training collator's padding
+            n_samples = mix.shape[-1]
+            bucket = max(int(bucket_s * fs), 1)
+            padded_len = -(-n_samples // bucket) * bucket
+            mix_p = jnp.pad(mix, ((0, 0), (0, 0), (0, padded_len - n_samples)))
             sampler = model.get_pc_sampler(
                 "reverse_diffusion",
                 "ald2",
-                mix,
+                mix_p,
                 params,
                 key=jax.random.fold_in(key, batch_idx),
                 intermediate=save_samples_fig,
@@ -133,7 +142,10 @@ def evaluate_split(
             out = sampler()
             x_result, nfe, *others = jax.block_until_ready(out)
             t_proc = time.perf_counter() - t_s
+            x_result = x_result[..., :n_samples]
             intmet = others[0] if others else None
+            if intmet is not None:
+                intmet = intmet[..., :n_samples]
 
         si_sdr, si_sir, si_sar, p_esq, s_toi, perm = compute_metrics(
             target, x_result, fs,

@@ -17,6 +17,64 @@ from typing import Any, Dict, Optional
 import jax
 import jax.numpy as jnp
 
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "model",
+        "predictor_name",
+        "corrector_name",
+        "N",
+        "denoise",
+        "eps",
+        "snr",
+        "corrector_steps",
+        "probability_flow",
+        "intermediate",
+        "schedule",
+    ),
+)
+def _jit_pc_sample(
+    model,
+    params,
+    key,
+    y,
+    predictor_name="reverse_diffusion",
+    corrector_name="ald2",
+    N=None,
+    denoise=True,
+    eps=3e-2,
+    snr=0.1,
+    corrector_steps=1,
+    probability_flow=False,
+    intermediate=False,
+    schedule=None,
+):
+    """One compiled program for the entire reverse process: prior sampling,
+    all N corrector+predictor steps, final denoise. Cached per (model,
+    sampler settings, input shape) so repeated calls are pure device
+    execution — the TPU answer to the reference's per-step host dispatch
+    loop (SURVEY.md §3.4)."""
+    from .sampling.pc import pc_sample
+
+    score_fn = lambda x, t, m: model.score_apply(params, x, t, m)
+    return pc_sample(
+        key,
+        model.sde,
+        score_fn,
+        y,
+        predictor_name,
+        corrector_name,
+        N=N,
+        denoise=denoise,
+        eps=eps,
+        snr=snr,
+        corrector_steps=corrector_steps,
+        probability_flow=probability_flow,
+        intermediate=intermediate,
+        schedule=schedule,
+    )
+
 from .config import instantiate
 from .models.score_model import ScoreModelNCSNpp
 from .sampling.pc import ode_sample, pc_sample
@@ -175,8 +233,7 @@ class DiffSepModel:
         kw.update(self.sampler_kwargs)
         kw.update(kwargs)
         (mix_n, _), mean, std = normalize_batch(mix, None)
-        score_fn = lambda x, t, m: self.score_apply(params, x, t, m)
-        est, nfe = pc_sample(key, self.sde, score_fn, mix_n, **kw)
+        est, nfe = _jit_pc_sample(self, params, key, mix_n, **kw)
         return denormalize_batch(est, mean, std), nfe
 
     def get_pc_sampler(
@@ -195,12 +252,11 @@ class DiffSepModel:
         (useful to bound memory on very long utterances)."""
         key = key if key is not None else jax.random.PRNGKey(0)
         kwargs = {"eps": self.t_eps, **kwargs}
-        score_fn = lambda x, t, m: self.score_apply(params, x, t, m)
 
         if minibatch is None:
             def sampler(key=key):
-                return pc_sample(
-                    key, self.sde, score_fn, y,
+                return _jit_pc_sample(
+                    self, params, key, y,
                     predictor_name, corrector_name,
                     N=N, schedule=schedule, **kwargs,
                 )
@@ -214,8 +270,8 @@ class DiffSepModel:
             for i in range(_math.ceil(M / minibatch)):
                 k = jax.random.fold_in(key, i)
                 y_mini = y[i * minibatch : (i + 1) * minibatch]
-                s, n = pc_sample(
-                    k, self.sde, score_fn, y_mini,
+                s, n = _jit_pc_sample(
+                    self, params, k, y_mini,
                     predictor_name, corrector_name,
                     N=N, schedule=schedule, **kwargs,
                 )
