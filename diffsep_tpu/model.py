@@ -153,6 +153,22 @@ class DiffSepModel:
         else:
             clip_kind, clip_max, clip_p = "none", 5.0, 10.0
 
+        # optional LR scheduler (reference pl_model.py:592-597)
+        sched_cfg = m.get("scheduler") or {}
+        sched_target = (
+            sched_cfg.get("_target_", "") if isinstance(sched_cfg, dict) else ""
+        )
+        if sched_target.endswith("ExponentialLR"):
+            scheduler = "exponential"
+        elif sched_target.endswith("StepLR"):
+            scheduler = "step"
+        elif sched_target.endswith("CosineAnnealingLR"):
+            scheduler = "cosine"
+        elif isinstance(sched_cfg, dict) and sched_cfg.get("name"):
+            scheduler = sched_cfg["name"]
+        else:
+            scheduler = None
+
         trainer_cfg = config.get("trainer", {}) or {}
         self.optim_cfg = OptimConfig(
             lr=float(m.optimizer.lr),
@@ -165,6 +181,13 @@ class DiffSepModel:
             grad_clipper=clip_kind,
             clip_max_norm=clip_max,
             autoclip_percentile=clip_p,
+            scheduler=scheduler,
+            scheduler_gamma=float(sched_cfg.get("gamma", 0.99))
+            if isinstance(sched_cfg, dict) else 0.99,
+            scheduler_step_size=int(sched_cfg.get("step_size", 1000))
+            if isinstance(sched_cfg, dict) else 1000,
+            scheduler_t_max=int(sched_cfg.get("T_max", 100000))
+            if isinstance(sched_cfg, dict) else 100000,
         )
         self.valid_max_sep_batches = int(m.get("valid_max_sep_batches", 1))
         self.sampler_kwargs = dict(m.get("sampler", {}) or {})

@@ -70,13 +70,37 @@ class OptimConfig:
     grad_clipper: str = "fixed"  # "fixed" | "autoclip" | "none"
     clip_max_norm: float = 5.0
     autoclip_percentile: float = 10.0
+    # optional decay schedule applied after warmup, mirroring the
+    # reference's `model.scheduler` hydra slot (pl_model.py:592-597):
+    # None | "exponential" (gamma) | "step" (step_size, gamma) | "cosine"
+    # (t_max)
+    scheduler: Optional[str] = None
+    scheduler_gamma: float = 0.99
+    scheduler_step_size: int = 1000
+    scheduler_t_max: int = 100000
 
 
 def make_lr_schedule(cfg: OptimConfig) -> Callable:
-    """lr * min(1, (step + 1) / warmup) (pl_model.py:680-685)."""
+    """Warmup (pl_model.py:680-685) composed with an optional decay
+    schedule (reference `model.scheduler`, pl_model.py:592-597)."""
+
+    def decay(step):
+        if cfg.scheduler == "exponential":
+            return cfg.scheduler_gamma**step
+        if cfg.scheduler == "step":
+            return cfg.scheduler_gamma ** jnp.floor(
+                step / cfg.scheduler_step_size
+            )
+        if cfg.scheduler == "cosine":
+            frac = jnp.clip(step / cfg.scheduler_t_max, 0.0, 1.0)
+            return 0.5 * (1.0 + jnp.cos(jnp.pi * frac))
+        return 1.0
+
     if not cfg.lr_warmup:
-        return lambda step: cfg.lr
-    return lambda step: cfg.lr * jnp.minimum(1.0, (step + 1.0) / cfg.lr_warmup)
+        return lambda step: cfg.lr * decay(step)
+    return lambda step: (
+        cfg.lr * jnp.minimum(1.0, (step + 1.0) / cfg.lr_warmup) * decay(step)
+    )
 
 
 def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
