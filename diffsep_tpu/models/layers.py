@@ -18,7 +18,7 @@ TPU-first redesign:
 from __future__ import annotations
 
 import math
-from typing import Callable, Sequence
+from typing import Any, Callable, Sequence
 
 import flax.linen as nn
 import jax
@@ -92,12 +92,13 @@ class NIN(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        # channels-last: a plain contraction on the last axis
+        # channels-last: a plain contraction on the last axis; params are
+        # cast to the activation dtype (bf16 compute keeps f32 params)
         W = self.param(
             "W", default_init(self.init_scale), (x.shape[-1], self.num_units)
         )
         b = self.param("b", nn.initializers.zeros, (self.num_units,))
-        return x @ W + b
+        return x @ W.astype(x.dtype) + b.astype(x.dtype)
 
 
 def conv1x1(
@@ -105,6 +106,7 @@ def conv1x1(
     init_scale: float = 1.0,
     use_bias: bool = True,
     name: str | None = None,
+    dtype=None,
 ) -> nn.Conv:
     """1x1 conv with DDPM init (layers.py:652-659)."""
     return nn.Conv(
@@ -114,6 +116,7 @@ def conv1x1(
         bias_init=nn.initializers.zeros,
         use_bias=use_bias,
         name=name,
+        dtype=dtype,
     )
 
 
@@ -124,6 +127,7 @@ def conv3x3(
     use_bias: bool = True,
     dilation: int = 1,
     name: str | None = None,
+    dtype=None,
 ) -> nn.Conv:
     """3x3 conv, stride/dilation optional, DDPM init (layers.py:681-696)."""
     return nn.Conv(
@@ -136,14 +140,24 @@ def conv3x3(
         bias_init=nn.initializers.zeros,
         use_bias=use_bias,
         name=name,
+        dtype=dtype,
     )
 
 
 def group_norm(channels: int) -> nn.GroupNorm:
-    """GroupNorm(min(c//4, 32), eps=1e-6) as used throughout NCSN++."""
+    """GroupNorm(min(c//4, 32), eps=1e-6) as used throughout NCSN++.
+
+    Statistics are always computed in float32 (inputs are upcast by the
+    caller when running the backbone in bfloat16)."""
     return nn.GroupNorm(
         num_groups=max(min(channels // 4, 32), 1), epsilon=1e-6
     )
+
+
+def norm_act(gn: nn.GroupNorm, act, x: Array) -> Array:
+    """GroupNorm (in f32) followed by activation, preserving x's dtype."""
+    h = gn(x.astype(jnp.float32))
+    return act(h).astype(x.dtype)
 
 
 class Combine(nn.Module):
@@ -151,10 +165,11 @@ class Combine(nn.Module):
 
     dim2: int
     method: str = "cat"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: Array, y: Array) -> Array:
-        h = conv1x1(self.dim2, use_bias=True)(x)
+        h = conv1x1(self.dim2, use_bias=True, dtype=self.dtype)(x)
         if self.method == "cat":
             return jnp.concatenate([h, y], axis=-1)
         if self.method == "sum":
@@ -176,7 +191,7 @@ class AttnBlockpp(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         b, h_dim, w_dim, c = x.shape
-        h = group_norm(c)(x)
+        h = group_norm(c)(x.astype(jnp.float32)).astype(x.dtype)
         q = NIN(c, name="NIN_0")(h)
         k = NIN(c, name="NIN_1")(h)
         v = NIN(c, name="NIN_2")(h)
@@ -184,13 +199,19 @@ class AttnBlockpp(nn.Module):
         q = q.reshape(b, h_dim * w_dim, c)
         k = k.reshape(b, h_dim * w_dim, c)
         v = v.reshape(b, h_dim * w_dim, c)
-        w = jnp.einsum("bqc,bkc->bqk", q, k) * (int(c) ** (-0.5))
-        w = jax.nn.softmax(w, axis=-1)
-        h = jnp.einsum("bqk,bkc->bqc", w, v).reshape(b, h_dim, w_dim, c)
+        # f32 accumulation on the MXU regardless of activation dtype
+        w = jnp.einsum(
+            "bqc,bkc->bqk", q, k, preferred_element_type=jnp.float32
+        ) * (int(c) ** (-0.5))
+        w = jax.nn.softmax(w, axis=-1).astype(x.dtype)
+        h = jnp.einsum(
+            "bqk,bkc->bqc", w, v, preferred_element_type=jnp.float32
+        ).astype(x.dtype)
+        h = h.reshape(b, h_dim, w_dim, c)
         h = NIN(c, init_scale=self.init_scale, name="NIN_3")(h)
         if not self.skip_rescale:
             return x + h
-        return (x + h) / np.sqrt(2.0)
+        return ((x + h) / np.sqrt(2.0)).astype(x.dtype)
 
 
 class FusedResampleConv(nn.Module):
@@ -216,7 +237,7 @@ class FusedResampleConv(nn.Module):
             "weight",
             default_init(),
             (self.out_ch, in_ch, self.kernel, self.kernel),
-        )
+        ).astype(x.dtype)
         # ops.resampling fused conv paths are NCHW
         x = jnp.transpose(x, (0, 3, 1, 2))
         if self.up:
@@ -234,7 +255,7 @@ class FusedResampleConv(nn.Module):
         x = jnp.transpose(x, (0, 2, 3, 1))
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.out_ch,))
-            x = x + b
+            x = x + b.astype(x.dtype)
         return x
 
 
@@ -321,26 +342,28 @@ class ResnetBlockDDPMpp(nn.Module):
     def __call__(self, x: Array, temb: Array | None = None, train: bool = False):
         in_ch = x.shape[-1]
         out_ch = self.out_ch or in_ch
-        h = self.act(group_norm(in_ch)(x))
-        h = conv3x3(out_ch, name="Conv_0")(h)
+        h = norm_act(group_norm(in_ch), self.act, x)
+        h = conv3x3(out_ch, name="Conv_0", dtype=h.dtype)(h)
         if temb is not None:
             h = h + nn.Dense(
                 out_ch,
                 kernel_init=default_init(),
                 bias_init=nn.initializers.zeros,
                 name="Dense_0",
+                dtype=h.dtype,
             )(self.act(temb))[:, None, None, :]
-        h = self.act(group_norm(out_ch)(h))
+        h = norm_act(group_norm(out_ch), self.act, h)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
-        h = conv3x3(out_ch, init_scale=self.init_scale, name="Conv_1")(h)
+        h = conv3x3(out_ch, init_scale=self.init_scale, name="Conv_1",
+                    dtype=h.dtype)(h)
         if in_ch != out_ch:
             if self.conv_shortcut:
-                x = conv3x3(out_ch, name="Conv_2")(x)
+                x = conv3x3(out_ch, name="Conv_2", dtype=h.dtype)(x)
             else:
                 x = NIN(out_ch, name="NIN_0")(x)
         if not self.skip_rescale:
             return x + h
-        return (x + h) / np.sqrt(2.0)
+        return ((x + h) / np.sqrt(2.0)).astype(h.dtype)
 
 
 class ResnetBlockBigGANpp(nn.Module):
@@ -361,7 +384,7 @@ class ResnetBlockBigGANpp(nn.Module):
     def __call__(self, x: Array, temb: Array | None = None, train: bool = False):
         in_ch = x.shape[-1]
         out_ch = self.out_ch or in_ch
-        h = self.act(group_norm(in_ch)(x))
+        h = norm_act(group_norm(in_ch), self.act, x)
 
         fir_k = list(self.fir_kernel)
         if self.up:
@@ -379,24 +402,26 @@ class ResnetBlockBigGANpp(nn.Module):
                 h = nn.avg_pool(h, (2, 2), strides=(2, 2))
                 x = nn.avg_pool(x, (2, 2), strides=(2, 2))
 
-        h = conv3x3(out_ch, name="Conv_0")(h)
+        h = conv3x3(out_ch, name="Conv_0", dtype=h.dtype)(h)
         if temb is not None:
             h = h + nn.Dense(
                 out_ch,
                 kernel_init=default_init(),
                 bias_init=nn.initializers.zeros,
                 name="Dense_0",
+                dtype=h.dtype,
             )(self.act(temb))[:, None, None, :]
-        h = self.act(group_norm(out_ch)(h))
+        h = norm_act(group_norm(out_ch), self.act, h)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
-        h = conv3x3(out_ch, init_scale=self.init_scale, name="Conv_1")(h)
+        h = conv3x3(out_ch, init_scale=self.init_scale, name="Conv_1",
+                    dtype=h.dtype)(h)
 
         if in_ch != out_ch or self.up or self.down:
-            x = conv1x1(out_ch, name="Conv_2")(x)
+            x = conv1x1(out_ch, name="Conv_2", dtype=h.dtype)(x)
 
         if not self.skip_rescale:
             return x + h
-        return (x + h) / np.sqrt(2.0)
+        return ((x + h) / np.sqrt(2.0)).astype(h.dtype)
 
 
 def _naive_up(x: Array) -> Array:

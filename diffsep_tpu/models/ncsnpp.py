@@ -60,6 +60,15 @@ class NCSNpp(nn.Module):
     embedding_type: str = "fourier"
     dropout: float = 0.0
     centered: bool = False
+    # compute dtype: "float32" or "bfloat16". Params always stay float32;
+    # with bfloat16 the conv/attention compute runs on the MXU in bf16
+    # while GroupNorm statistics, the time embedding, scale_by_sigma and
+    # the output projection remain float32.
+    dtype: str = "float32"
+
+    @property
+    def compute_dtype(self):
+        return jnp.bfloat16 if self.dtype in ("bfloat16", "bf16") else jnp.float32
 
     def setup(self):
         assert self.progressive in ["none", "output_skip", "residual"]
@@ -139,9 +148,10 @@ class NCSNpp(nn.Module):
             )
 
         # --- downsampling block ---
+        cdtype = self.compute_dtype
         channels = self.num_channels_in
         input_pyramid_ch = channels
-        modules.append(layers.conv3x3(nf))
+        modules.append(layers.conv3x3(nf, dtype=cdtype))
         hs_c = [nf]
         in_ch = nf
         for i_level in range(num_resolutions):
@@ -159,7 +169,9 @@ class NCSNpp(nn.Module):
                     modules.append(ResnetBlock(down=True, out_ch=in_ch))
                 if self.progressive_input == "input_skip":
                     modules.append(
-                        layers.Combine(dim2=in_ch, method=combine_method)
+                        layers.Combine(
+                            dim2=in_ch, method=combine_method, dtype=cdtype
+                        )
                     )
                     if combine_method == "cat":
                         in_ch *= 2
@@ -198,18 +210,24 @@ class NCSNpp(nn.Module):
                     if self.progressive == "output_skip":
                         modules.append(layers.group_norm(in_ch))
                         modules.append(
-                            layers.conv3x3(channels, init_scale=self.init_scale)
+                            layers.conv3x3(
+                                channels, init_scale=self.init_scale,
+                                dtype=cdtype,
+                            )
                         )
                         pyramid_ch = channels
                     elif self.progressive == "residual":
                         modules.append(layers.group_norm(in_ch))
-                        modules.append(layers.conv3x3(in_ch))
+                        modules.append(layers.conv3x3(in_ch, dtype=cdtype))
                         pyramid_ch = in_ch
                 else:
                     if self.progressive == "output_skip":
                         modules.append(layers.group_norm(in_ch))
                         modules.append(
-                            layers.conv3x3(channels, init_scale=self.init_scale)
+                            layers.conv3x3(
+                                channels, init_scale=self.init_scale,
+                                dtype=cdtype,
+                            )
                         )
                         pyramid_ch = channels
                     elif self.progressive == "residual":
@@ -261,6 +279,7 @@ class NCSNpp(nn.Module):
             m_idx += 1
             temb = modules[m_idx](act(temb))
             m_idx += 1
+            temb = temb.astype(self.compute_dtype)
         else:
             temb = None
 
@@ -268,6 +287,7 @@ class NCSNpp(nn.Module):
             # reference keeps the [0, 1] -> [-1, 1] affine even for audio
             # spectrograms (ncsnpp.py:347-349); kept for checkpoint parity
             x = 2 * x - 1.0
+        x = x.astype(self.compute_dtype)
 
         # --- down path ---
         input_pyramid = None
@@ -326,22 +346,30 @@ class NCSNpp(nn.Module):
             if h.shape[1] in self.attn_resolutions:
                 h = modules[m_idx](h)
                 m_idx += 1
+            cdtype = self.compute_dtype
             if self.progressive != "none":
                 if i_level == num_resolutions - 1:
                     if self.progressive == "output_skip":
-                        pyramid = act(modules[m_idx](h))
+                        # GroupNorm stats in f32, activations back in cdtype
+                        pyramid = act(
+                            modules[m_idx](h.astype(jnp.float32))
+                        ).astype(cdtype)
                         m_idx += 1
                         pyramid = modules[m_idx](pyramid)
                         m_idx += 1
                     elif self.progressive == "residual":
-                        pyramid = act(modules[m_idx](h))
+                        pyramid = act(
+                            modules[m_idx](h.astype(jnp.float32))
+                        ).astype(cdtype)
                         m_idx += 1
                         pyramid = modules[m_idx](pyramid)
                         m_idx += 1
                 else:
                     if self.progressive == "output_skip":
                         pyramid = self.pyramid_upsample(pyramid)
-                        pyramid_h = act(modules[m_idx](h))
+                        pyramid_h = act(
+                            modules[m_idx](h.astype(jnp.float32))
+                        ).astype(cdtype)
                         m_idx += 1
                         pyramid_h = modules[m_idx](pyramid_h)
                         m_idx += 1
@@ -367,13 +395,17 @@ class NCSNpp(nn.Module):
         if self.progressive == "output_skip":
             h = pyramid
         else:
-            h = act(modules[m_idx](h))
+            h = act(modules[m_idx](h.astype(jnp.float32))).astype(
+                self.compute_dtype
+            )
             m_idx += 1
             h = modules[m_idx](h)
             m_idx += 1
 
         assert m_idx == len(modules), "module walk mismatch (ncsnpp.py:471)"
 
+        # score scaling + output projection in float32
+        h = h.astype(jnp.float32)
         if self.scale_by_sigma:
             h = h / used_sigmas.reshape((-1,) + (1,) * (h.ndim - 1))
 

@@ -142,6 +142,22 @@ def test_parity_with_torch_reference(rng, reference_ncsnpp, overrides):
     np.testing.assert_allclose(ours, ref, atol=2e-4 * max(scale, 1.0), rtol=1e-3)
 
 
+def test_bfloat16_compute_matches_float32(rng):
+    """bf16 compute dtype keeps f32 params and stays close to the f32
+    forward (the mixed-precision inference/training path)."""
+    x = rng.uniform(-1, 1, (1, 32, 16, 6)).astype(np.float32)
+    t = np.asarray([0.5], np.float32)
+    m32 = NCSNpp(**SMALL)
+    params = m32.init(jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(t))
+    y32 = np.asarray(m32.apply(params, jnp.asarray(x), jnp.asarray(t)))
+
+    m16 = NCSNpp(**SMALL, dtype="bfloat16")
+    y16 = np.asarray(m16.apply(params, jnp.asarray(x), jnp.asarray(t)))
+    assert y16.dtype == np.float32  # output is always f32
+    scale = np.abs(y32).max()
+    assert np.abs(y16 - y32).max() < 0.05 * max(scale, 1.0)
+
+
 def test_ema_shadow_conversion(reference_ncsnpp):
     """EMA shadow-list -> flax params mapping (models/convert.py).
 
