@@ -7,58 +7,73 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 value        = utterances/sec/chip for the flagship nf=128 NCSN++ +
                MixSDE PC sampler on 5 s 8 kHz utterances, batched.
-vs_baseline  = speedup over a reference-architecture run on the SAME chip:
-               the PyTorch reference dispatches each of the 60 network
-               evaluations from host Python with batch size 1
-               (evaluate.py:322-376, SURVEY.md §3.4); the baseline below
-               reproduces that execution shape (per-step host loop,
-               batch 1), while the TPU-native path runs the whole reverse
-               process as one jit'd lax.scan over a batch.
+vs_baseline  = speedup over a reference-architecture execution shape on
+               the SAME chip: batch size 1 with each sampler step
+               dispatched from the host (the per-step loop of
+               evaluate.py:322-376 / SURVEY.md §3.4, with every step
+               jit-compiled — i.e. a best-case rendition of the PyTorch
+               execution model), versus the TPU-native whole-process
+               lax.scan over a batch.
+
+Timing forces a device->host transfer (jax.device_get) because async
+dispatch otherwise returns before execution completes.
 """
 from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def sync(x) -> None:
+    np.asarray(jax.device_get(x))
 
 
 def build():
     from diffsep_tpu.config import compose
     from diffsep_tpu.model import DiffSepModel
 
-    cfg = compose(["experiment=icassp-separation"])
+    overrides = ["experiment=icassp-separation"]
+    if os.environ.get("BENCH_DTYPE", "bfloat16") == "bfloat16":
+        overrides.append("model.score_model.backbone_args.dtype=bfloat16")
+    cfg = compose(overrides)
     model = DiffSepModel(cfg)
     fs = 8000
     n_samples = 5 * fs
     batch = int(os.environ.get("BENCH_BATCH", "8"))
-    mix = jnp.zeros((batch, 1, n_samples), jnp.float32)
+    rng = np.random.default_rng(0)
+    mix = jnp.asarray(rng.standard_normal((batch, 1, n_samples)), jnp.float32) * 0.1
     tgt = jnp.zeros((batch, 2, n_samples), jnp.float32)
     params = model.init_params(jax.random.PRNGKey(0), mix, tgt)
+    sync(jax.tree_util.tree_leaves(params)[0])
     return model, params, mix
 
 
 def bench_fused(model, params, mix, n_iter=3):
     """TPU-native: whole PC reverse process in one jit'd scan, batched."""
-
-    @jax.jit
-    def run(key):
-        est, nfe = model.separate(params, key, mix)
-        return est
-
-    run(jax.random.PRNGKey(0)).block_until_ready()  # compile
+    est, _ = model.separate(params, jax.random.PRNGKey(0), mix)
+    sync(est)  # compile + first run
+    log("fused: compiled")
     t0 = time.perf_counter()
     for i in range(n_iter):
-        run(jax.random.PRNGKey(i)).block_until_ready()
+        est, _ = model.separate(params, jax.random.PRNGKey(i + 1), mix)
+        sync(est)
     dt = (time.perf_counter() - t0) / n_iter
     return mix.shape[0] / dt
 
 
-def bench_reference_style(model, params, mix, n_iter=1):
-    """Reference execution shape: batch 1, each sampler step dispatched
-    from host Python (the per-step kernel-launch pattern of SURVEY §3.4)."""
+def bench_reference_style(model, params, mix):
+    """Reference execution shape: batch 1, per-step host dispatch (each
+    step a single jitted function; keys precomputed on host)."""
     from diffsep_tpu.sampling.correctors import AnnealedLangevinDynamics2
     from diffsep_tpu.sampling.predictors import ReverseDiffusionPredictor
     from diffsep_tpu.train.losses import normalize_batch
@@ -67,35 +82,51 @@ def bench_reference_style(model, params, mix, n_iter=1):
     score_fn = lambda x, t, m: model.score_apply(params, x, t, m)
     pred = ReverseDiffusionPredictor(sde, score_fn)
     corr = AnnealedLangevinDynamics2(sde, score_fn, snr=0.5, n_steps=1)
-    corr_up = jax.jit(corr.update)
-    pred_up = jax.jit(pred.update)
+
+    @jax.jit
+    def step(x, t_scalar, kc, kp, mix_n):
+        t = jnp.full((x.shape[0],), t_scalar, x.dtype)
+        x, _ = corr.update(kc, x, t, mix_n)
+        x, x_mean = pred.update(kp, x, t, mix_n)
+        return x, x_mean
+
+    @jax.jit
+    def prep(key, mix1):
+        (mix_n, _), _, _ = normalize_batch(mix1, None)
+        return mix_n, sde.prior_sampling(key, mix_n)
 
     mix1 = mix[:1]
+    ts = np.linspace(sde.T, 0.03, sde.N)
+    host_keys = [
+        tuple(jax.random.split(jax.random.fold_in(jax.random.PRNGKey(0), i)))
+        for i in range(sde.N)
+    ]
 
-    def run(key):
-        (mix_n, _), _, _ = normalize_batch(mix1, None)
-        x = sde.prior_sampling(key, mix_n)
-        ts = jnp.linspace(sde.T, 0.03, sde.N)
+    def run(seed):
+        mix_n, x = prep(jax.random.PRNGKey(seed), mix1)
+        x_mean = x
         for i in range(sde.N):
-            t = jnp.full((1,), ts[i])
-            k = jax.random.fold_in(key, i)
-            kc, kp = jax.random.split(k)
-            x, x_mean = corr_up(kc, x, t, mix_n)
-            x, x_mean = pred_up(kp, x, t, mix_n)
-        return x_mean.block_until_ready()
+            kc, kp = host_keys[i]
+            x, x_mean = step(x, ts[i], kc, kp, mix_n)
+        sync(x_mean)
 
-    run(jax.random.PRNGKey(0))  # compile
+    run(0)  # compile
+    log("reference-style: compiled")
+    n_iter = 2
     t0 = time.perf_counter()
     for i in range(n_iter):
-        run(jax.random.PRNGKey(i))
+        run(i + 1)
     dt = (time.perf_counter() - t0) / n_iter
     return 1.0 / dt
 
 
 def main():
     model, params, mix = build()
+    log("params initialized")
     fused = bench_fused(model, params, mix)
+    log(f"fused: {fused:.3f} utt/s")
     ref = bench_reference_style(model, params, mix)
+    log(f"reference-style: {ref:.3f} utt/s")
     print(
         json.dumps(
             {
