@@ -96,7 +96,7 @@ def _tupled(v):
     return tuple(v) if isinstance(v, (list, tuple)) else v
 
 
-def build_score_model(sm_cfg) -> ScoreModelNCSNpp:
+def build_score_model(sm_cfg):
     """Build the Flax score model from the score_model config node
     (mirrors the ctor channel inference at score_models.py:24-26)."""
     num_sources = int(sm_cfg["num_sources"])
@@ -105,6 +105,19 @@ def build_score_model(sm_cfg) -> ScoreModelNCSNpp:
     mod_name, _, cls_name = target.rpartition(".")
     backbone_cls = getattr(importlib.import_module(mod_name), cls_name)
     backbone_args = {k: _tupled(v) for k, v in backbone_args.items()}
+
+    wrapper = sm_cfg.get("_target_", "")
+    if wrapper.endswith("ScoreModelDiffuSE"):
+        # time-domain variant: channels are waveform sources
+        from .models.score_model_diffuse import ScoreModelDiffuSE
+
+        backbone_args.update(
+            num_channels_in=num_sources, num_channels_out=num_sources
+        )
+        return ScoreModelDiffuSE(
+            backbone=backbone_cls(**backbone_args), num_sources=num_sources
+        )
+
     backbone_args.update(
         num_channels_in=2 * num_sources + 2, num_channels_out=2 * num_sources
     )
