@@ -29,6 +29,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from diffsep_tpu.compilation_cache import enable as _enable_cache
+
+_enable_cache()
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
@@ -97,10 +101,19 @@ def bench_reference_style(model, params, mix):
 
     mix1 = mix[:1]
     ts = np.linspace(sde.T, 0.03, sde.N)
-    host_keys = [
-        tuple(jax.random.split(jax.random.fold_in(jax.random.PRNGKey(0), i)))
-        for i in range(sde.N)
-    ]
+
+    # one jitted program for all per-step keys: eager per-key ops would
+    # each pay a full host<->device round trip
+    @jax.jit
+    def make_keys(base):
+        def per_step(i):
+            kc, kp = jax.random.split(jax.random.fold_in(base, i))
+            return kc, kp
+
+        return jax.vmap(per_step)(jnp.arange(sde.N))
+
+    kcs, kps = jax.device_get(make_keys(jax.random.PRNGKey(0)))
+    host_keys = [(jnp.asarray(kcs[i]), jnp.asarray(kps[i])) for i in range(sde.N)]
 
     def run(seed):
         mix_n, x = prep(jax.random.PRNGKey(seed), mix1)

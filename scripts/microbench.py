@@ -14,6 +14,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from diffsep_tpu.compilation_cache import enable as _enable_cache
+_enable_cache()
+
 
 def sync(x):
     np.asarray(jax.device_get(x))
@@ -60,8 +63,9 @@ def main():
 
     # STFT frontend
     sig = jnp.asarray(rng.standard_normal((B, 3, n + 382)), jnp.float32)
-    timeit("stft 510/128", jax.jit(lambda x: stft(x)), sig)
-    spec = stft(sig)
+    jstft = jax.jit(lambda x: stft(x))
+    timeit("stft 510/128", jstft, sig)
+    spec = jstft(sig)
     timeit("istft 510/128", jax.jit(lambda s: istft(s)), spec)
 
     # resampling at each U-Net level (NHWC)
@@ -90,7 +94,7 @@ def main():
     import flax.linen as nn
     gn = nn.GroupNorm(num_groups=32, epsilon=1e-6)
     xf = jnp.asarray(rng.standard_normal((B, 256, 320, 128)), jnp.float32)
-    gn_p = gn.init(jax.random.PRNGKey(0), xf)
+    gn_p = jax.jit(gn.init)(jax.random.PRNGKey(0), xf)
     timeit("groupnorm 256x320x128 (f32)",
            jax.jit(lambda p, x: gn.apply(p, x)), gn_p, xf)
 
@@ -98,7 +102,7 @@ def main():
     xa = jnp.asarray(rng.standard_normal((B, 16, 20, 256)), dt)
     from diffsep_tpu.models.layers import AttnBlockpp
     attn = AttnBlockpp(skip_rescale=True)
-    ap = attn.init(jax.random.PRNGKey(0), xa)
+    ap = jax.jit(attn.init)(jax.random.PRNGKey(0), xa)
     timeit("attention 16x20x256",
            jax.jit(lambda p, x: attn.apply(p, x)), ap, xa)
 
