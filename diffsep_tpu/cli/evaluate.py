@@ -29,6 +29,10 @@ from .loading import _config_from_hparams, load_model
 
 log = logging.getLogger(__name__)
 
+from ..compilation_cache import enable as _enable_cache
+
+_enable_cache()
+
 
 def build_parser():
     parser = argparse.ArgumentParser(

@@ -34,6 +34,10 @@ from .loading import load_model
 
 log = logging.getLogger(__name__)
 
+from ..compilation_cache import enable as _enable_cache
+
+_enable_cache()
+
 
 def make_tasks(n_items: int, n_workers: int):
     """Split range(n_items) into contiguous (start, stop) per worker

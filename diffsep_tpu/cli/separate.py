@@ -25,6 +25,10 @@ DEFAULT_MODEL = "fakufaku/diffsep"
 
 log = logging.getLogger(__name__)
 
+from ..compilation_cache import enable as _enable_cache
+
+_enable_cache()
+
 
 def scale_output(mix, sep):
     """Project the mixture onto each separated signal (separate.py:73-78)."""

@@ -18,6 +18,10 @@ from ..config import compose
 
 log = logging.getLogger(__name__)
 
+from ..compilation_cache import enable as _enable_cache
+
+_enable_cache()
+
 
 def make_run_dir(cfg, overrides) -> Path:
     ts = datetime.datetime.now().strftime("%Y-%m-%d_%H-%M-%S")

@@ -59,14 +59,22 @@ def main():
     sync(jax.tree_util.tree_leaves(params)[0])
 
     fwd = jax.jit(lambda p, x, tt, m: model.score_apply(p, x, tt, m))
+    try:
+        cost = fwd.lower(params, xt, t, mix).compile().cost_analysis()
+        if isinstance(cost, list): cost = cost[0]
+        print(f"XLA cost: {cost.get('flops', 0)/1e9:.1f} GFLOP, "
+              f"{cost.get('bytes accessed', 0)/1e9:.2f} GB accessed", flush=True)
+    except Exception as e:
+        print("cost analysis unavailable:", e, flush=True)
     total = timeit(f"score forward (B={B})", fwd, params, xt, t, mix)
 
     # STFT frontend
     sig = jnp.asarray(rng.standard_normal((B, 3, n + 382)), jnp.float32)
-    jstft = jax.jit(lambda x: stft(x))
-    timeit("stft 510/128", jstft, sig)
-    spec = jstft(sig)
-    timeit("istft 510/128", jax.jit(lambda s: istft(s)), spec)
+    # complex64 device_get is unimplemented on some backends: sync |.|
+    jstft = jax.jit(lambda x: jnp.abs(stft(x)))
+    timeit("stft 510/128 (abs)", jstft, sig)
+    spec = stft(jnp.zeros((B, 3, n + 382)))  # traced value only
+    timeit("istft 510/128", jax.jit(lambda x: istft(stft(x))), sig)
 
     # resampling at each U-Net level (NHWC)
     shapes = [(B, 256, 320, 128), (B, 128, 160, 128), (B, 64, 80, 256),
