@@ -33,6 +33,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 __all__ = ["upfirdn2d", "upfirdn2d_ref"]
@@ -141,6 +142,73 @@ def _bwd(up, down, pad, data_format, res, g):
 upfirdn2d_ref.defvjp(_fwd, _bwd)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5))
+def _upfirdn2d_pallas(x, kernel_tuple, up, down, pad, data_format):
+    from .pallas import upfirdn as pu
+
+    return pu.pallas_apply(x, kernel_tuple, up, down, pad, data_format)
+
+
+def _pallas_fwd(x, kernel_tuple, up, down, pad, data_format):
+    out = _upfirdn2d_pallas(x, kernel_tuple, up, down, pad, data_format)
+    return out, (x.shape, out.shape)
+
+
+def _pallas_bwd(kernel_tuple, up, down, pad, data_format, res, g):
+    in_shape, out_shape = res
+    up_y, up_x = up
+    down_y, down_x = down
+    pad_y0, pad_y1, pad_x0, pad_x1 = pad
+    if data_format == "NCHW":
+        _, _, in_h, in_w = in_shape
+        _, _, out_h, out_w = out_shape
+    else:
+        _, in_h, in_w, _ = in_shape
+        _, out_h, out_w, _ = out_shape
+    k = np.asarray(kernel_tuple)
+    kh, kw = k.shape
+    g_pad_y0 = kh - pad_y0 - 1
+    g_pad_x0 = kw - pad_x0 - 1
+    g_pad_y1 = in_h * up_y - out_h * down_y + pad_y0 - up_y + 1
+    g_pad_x1 = in_w * up_x - out_w * down_x + pad_x0 - up_x + 1
+    grad_x = _upfirdn2d_dispatch(
+        g,
+        k[::-1, ::-1],
+        (down_y, down_x),
+        (up_y, up_x),
+        (g_pad_y0, g_pad_y1, g_pad_x0, g_pad_x1),
+        "auto",
+        data_format,
+    )
+    return (grad_x,)
+
+
+_upfirdn2d_pallas.defvjp(_pallas_fwd, _pallas_bwd)
+
+
+def _upfirdn2d_dispatch(x, kernel, up, down, pad4, impl, data_format):
+    """Route to Pallas when the kernel taps are concrete and the call
+    matches a fast pattern; else the fused XLA conv."""
+    kernel_np = None
+    if not isinstance(kernel, jax.core.Tracer):
+        kernel_np = np.asarray(kernel)
+    if impl in ("auto", "pallas") and kernel_np is not None:
+        from .pallas import upfirdn as pu
+
+        plan = pu.match_pattern(
+            kernel_np, up, down, pad4, data_format, x.shape,
+            getattr(x.dtype, "itemsize", 4), force=(impl == "pallas"),
+        )
+        if plan is not None:
+            kt = tuple(tuple(float(v) for v in row) for row in kernel_np)
+            return _upfirdn2d_pallas(x, kt, up, down, pad4, data_format)
+        if impl == "pallas":
+            raise NotImplementedError(
+                "no Pallas fast path for this upfirdn2d configuration"
+            )
+    return upfirdn2d_ref(x, jnp.asarray(kernel), up, down, pad4, data_format)
+
+
 def upfirdn2d(
     x, kernel, up=1, down=1, pad=(0, 0), impl: str = "auto", data_format="NCHW"
 ):
@@ -148,8 +216,9 @@ def upfirdn2d(
     (op/upfirdn2d.py:145): scalar up/down, symmetric (pad0, pad1) applied to
     both H and W.
 
-    impl: "auto" picks the Pallas fast path on TPU when the shape qualifies,
-    "conv" forces the XLA convolution reference, "pallas" forces the kernel.
+    impl: "auto" picks the Pallas fast path when enabled (DIFFSEP_PALLAS=1)
+    and the shape qualifies, "conv" forces the XLA convolution reference,
+    "pallas" forces the Pallas kernel.
     """
     up = _as_tuple2(up)
     down = _as_tuple2(down)
@@ -157,13 +226,4 @@ def upfirdn2d(
         pad4 = (pad[0], pad[1], pad[0], pad[1])
     else:
         pad4 = tuple(pad)
-
-    if impl in ("auto", "pallas"):
-        from .pallas import upfirdn as _pallas_upfirdn
-
-        fn = _pallas_upfirdn.maybe_pallas_upfirdn2d(
-            x, kernel, up, down, pad4, data_format, force=(impl == "pallas")
-        )
-        if fn is not None:
-            return fn
-    return upfirdn2d_ref(x, jnp.asarray(kernel), up, down, pad4, data_format)
+    return _upfirdn2d_dispatch(x, kernel, up, down, pad4, impl, data_format)
