@@ -141,6 +141,68 @@ def test_evaluate_mp_cli(trained_run_dir, wsj0_tree, tmp_path, monkeypatch):
     assert (out_dirs[0] / "test_summary.json").exists()
 
 
+def test_enhancement_recipe_e2e(tmp_path_factory):
+    """noise-reduction recipe: PriorMixSDE + Valentini datamodule train ->
+    checkpoint -> evaluate --enhance (vctk_demand + nr.yaml parity)."""
+    import numpy as np
+
+    rng = np.random.default_rng(1)
+    root = tmp_path_factory.mktemp("vctk")
+    for split, n in [("train", 4), ("test", 2)]:
+        for d in ["noisy", "clean"]:
+            (root / split / d).mkdir(parents=True)
+        for i in range(n):
+            L = 9000
+            c = rng.standard_normal((1, L)).astype(np.float32) * 0.1
+            nz = c + rng.standard_normal((1, L)).astype(np.float32) * 0.03
+            save_wav(root / split / f"clean/u{i}.wav", c, 16000)
+            save_wav(root / split / f"noisy/u{i}.wav", nz, 16000)
+
+    from diffsep_tpu.cli.train import main as train_main
+
+    exp_root = tmp_path_factory.mktemp("exp_nr")
+    train_main(
+        [
+            "experiment=noise-reduction",
+            f"path.datasets.valentini={root}",
+            f"path.exp_root={exp_root}",
+            "model.score_model.backbone_args.nf=8",
+            "model.score_model.backbone_args.ch_mult=[1,2]",
+            "model.score_model.backbone_args.num_res_blocks=1",
+            "model.score_model.backbone_args.image_size=64",
+            "model.score_model.stft_args.n_fft=126",
+            "model.score_model.stft_args.hop_length=32",
+            "model.sampler.N=2",
+            "datamodule.train.dataset.audio_len=0.4",
+            "datamodule.train.dl_opts.batch_size=2",
+            "trainer.max_epochs=1",
+            "trainer.max_steps=1",
+            "trainer.accumulate_grad_batches=1",
+            "trainer.devices=1",
+        ]
+    )
+    runs = sorted((exp_root / "enhancement").iterdir())
+    assert runs
+
+    from diffsep_tpu.cli.evaluate import main as eval_main
+
+    out = exp_root / "results"
+    eval_main(
+        [
+            str(runs[-1]),
+            "--test", "--enhance",
+            "-o", str(out),
+            "-N", "2",
+            "--limit", "1",
+            "--save-n", "0",
+        ]
+    )
+    res_dirs = list(out.iterdir())
+    assert res_dirs
+    res = json.loads((res_dirs[0] / "test.json").read_text())
+    assert len(res) == 1 and len(res[0]["si_sdr"]) == 1  # n_src=1 in enhance
+
+
 def test_make_tasks():
     from diffsep_tpu.cli.evaluate_mp import make_tasks
 
