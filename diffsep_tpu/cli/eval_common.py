@@ -51,13 +51,18 @@ def compute_metrics(ref, est, fs, pesq_mode="nb", stoi_extended=True, n_src=2):
 
 
 def summarize(results):
-    """Average every metric over utterances (evaluate.py:148-161)."""
+    """Average every metric over utterances (evaluate.py:148-161).
+
+    All-NaN metrics (e.g. PESQ without the optional package) summarize to
+    NaN without numpy warnings."""
     metrics = set()
     summary = defaultdict(lambda: 0.0)
     for res in results:
         for met, val in res.items():
             metrics.add(met)
-            summary[met] += np.nanmean(val)
+            vals = np.atleast_1d(np.asarray(val, dtype=np.float64))
+            finite = vals[np.isfinite(vals)]
+            summary[met] += finite.mean() if finite.size else np.nan
         summary["number"] += 1
     for met in metrics:
         summary[met] = float(summary[met] / summary["number"])

@@ -39,7 +39,11 @@ except ImportError:  # pragma: no cover
 
 class Logger:
     def __init__(self, logdir):
-        self.writer = SummaryWriter(str(logdir)) if SummaryWriter else None
+        self.writer = (
+            SummaryWriter(str(logdir))
+            if (SummaryWriter and logdir is not None)
+            else None
+        )
 
     def log_metrics(self, metrics, step):
         if self.writer is None:
@@ -97,7 +101,12 @@ def fit(
         n_devices = len(jax.devices()) if devices in (-1, "auto") else int(devices)
     mesh = make_mesh(n_devices)
 
-    logger = Logger(workdir / "tb")
+    # only the first process writes logs/checkpoints on multi-host runs
+    # (reference: utils.ddp.is_rank_zero gating, train.py:88-93)
+    from ..utils.distributed import is_rank_zero
+
+    rank_zero = is_rank_zero()
+    logger = Logger(workdir / "tb") if rank_zero else Logger(None)
     ckpt = CheckpointManager(
         workdir / "checkpoints",
         max_to_keep=20,
