@@ -6,28 +6,32 @@ The production NCSN++ only calls upfirdn2d in two shapes
   * upsample_2d:   up=2, pad=(2,1), 4-tap separable kernel (gain 4)
   * downsample_2d: down=2, pad=(1,1), 4-tap separable kernel
 
-Both are bandwidth-bound separable stencils. The kernels below use the
-polyphase decomposition — for a 4-tap filter at factor 2, every output
-phase needs exactly two taps:
+Both are bandwidth-bound separable stencils. The kernels use the polyphase
+decomposition — for a 4-tap filter at factor 2, every output phase needs
+exactly two taps — so no zero-inserted intermediate is ever materialized
+(the XLA conv path builds one for the upsample).
 
-  down:  y[i]    = K0 x[2i-1] + K1 x[2i] + K2 x[2i+1] + K3 x[2i+2]
-               = K0 odd[i-1] + K1 even[i] + K2 odd[i] + K3 even[i+1]
-  up:    y[2s]   = C0 x[s-1] + C2 x[s]
-         y[2s+1] = C1 x[s]   + C3 x[s+1]
+Kernel structure (NHWC):
+  * the input stays in HBM (`memory_space=ANY`); each grid step DMAs an
+    H-tile *with its 2-row halo* into VMEM scratch (halos overlap, which
+    BlockSpec partitioning cannot express),
+  * the H pass consumes the halo directly; the W pass runs on the full
+    row in VMEM (boundary handled by a 1-column pad),
+  * outputs are written through a normal blocked out_spec.
 
-(with K/C the flipped, gain-scaled taps), i.e. pure shifted multiply-adds
-on an even/odd reshape — VPU work with zero wasted FLOPs, where the XLA
-conv path materializes the zero-inserted intermediate. The two patterns
-are mutually adjoint, so the custom VJP in ops/upfirdn2d.py keeps both
-directions on the fast path.
+The input is pre-padded by the caller (2-3 rows) so tile reads never go
+out of bounds. The two patterns are mutually adjoint, so the custom VJP in
+ops/upfirdn2d.py keeps forward and backward on the fast path.
 
-Layout: NHWC; the channel dim is tiled to the 128-lane register width; the
-full (H, W) map of one (batch, channel-tile) lives in VMEM (max level-0
-block is 256x320x64xbf16 = 10 MB).
+Constraints for the fast path: C % 128 == 0 (lane width), W % 8 == 0 and
+even H (tiling), which covers the four largest U-Net levels where nearly
+all resampling bandwidth is spent; other calls fall back to the fused XLA
+conv.
 """
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -35,7 +39,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_VMEM_BUDGET = 12 * 1024 * 1024
+_VMEM_BUDGET = 10 * 1024 * 1024
 
 
 def _separable_taps(kernel: np.ndarray):
@@ -52,105 +56,101 @@ def _separable_taps(kernel: np.ndarray):
     return f.astype(np.float32)
 
 
-def _shift_up(a, axis):
-    """out[i] = a[i+1], zero at the end (static pad+slice)."""
-    pad = [(0, 0)] * a.ndim
-    pad[axis] = (0, 1)
-    idx = [slice(None)] * a.ndim
-    idx[axis] = slice(1, None)
-    return jnp.pad(a, pad)[tuple(idx)]
+def _down_w(x, K):
+    """Factor-2 FIR decimation along axis 1 of (rows, W, C); zero edges."""
+    k0, k1, k2, k3 = K
+    rows, w, c = x.shape
+    pairs = x.reshape(rows, w // 2, 2, c)
+    even = pairs[:, :, 0, :]
+    odd = pairs[:, :, 1, :]
+    odd_m1 = jnp.pad(odd, ((0, 0), (1, 0), (0, 0)))[:, : w // 2, :]
+    even_p1 = jnp.pad(even, ((0, 0), (0, 1), (0, 0)))[:, 1:, :]
+    return k0 * odd_m1 + k1 * even + k2 * odd + k3 * even_p1
 
 
-def _shift_down(a, axis):
-    """out[i] = a[i-1], zero at the start."""
-    pad = [(0, 0)] * a.ndim
-    pad[axis] = (1, 0)
-    idx = [slice(None)] * a.ndim
-    idx[axis] = slice(0, a.shape[axis])
-    return jnp.pad(a, pad)[tuple(idx)]
+def _up_w(x, C):
+    """Factor-2 FIR interpolation along axis 1 of (rows, W, C)."""
+    c0, c1, c2, c3 = C
+    rows, w, ch = x.shape
+    x_m1 = jnp.pad(x, ((0, 0), (1, 0), (0, 0)))[:, :w, :]
+    x_p1 = jnp.pad(x, ((0, 0), (0, 1), (0, 0)))[:, 1:, :]
+    even = c0 * x_m1 + c2 * x
+    odd = c1 * x + c3 * x_p1
+    return jnp.stack([even, odd], axis=2).reshape(rows, 2 * w, ch)
 
 
-def _down1d(x, taps, axis):
-    """Factor-2 FIR decimation along `axis` (pad (1,1)); len must be even."""
-    k0, k1, k2, k3 = [float(t) for t in taps[::-1]]  # conv = flipped taps
-    n = x.shape[axis]
-    new_shape = x.shape[:axis] + (n // 2, 2) + x.shape[axis + 1 :]
-    pairs = x.reshape(new_shape)
-    even = jax.lax.index_in_dim(pairs, 0, axis + 1, keepdims=False)
-    odd = jax.lax.index_in_dim(pairs, 1, axis + 1, keepdims=False)
-    return (
-        k0 * _shift_down(odd, axis)
-        + k1 * even
-        + k2 * odd
-        + k3 * _shift_up(even, axis)
+def _down_kernel(x_hbm, o_ref, scratch, sem, *, taps, th, w, c):
+    """One output H-tile of the 2x downsample. Input pre-padded by (1, 2)
+    rows; tile t reads padded rows [2 t th, 2 t th + 2 th + 2)."""
+    K = taps[::-1]  # convolution = flipped taps
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    rows_in = 2 * th + 2
+    row0 = pl.multiple_of(t * 2 * th, 2 * th)
+    dma = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(row0, rows_in)], scratch, sem
     )
+    dma.start()
+    dma.wait()
+    s = scratch[:]  # (rows_in, w, c)
+    # H pass with halo: y[i] = K0 s[2i] + K1 s[2i+1] + K2 s[2i+2] + K3 s[2i+3]
+    pairs = s.reshape(th + 1, 2, w, c)
+    even = pairs[:, 0]
+    odd = pairs[:, 1]
+    yh = (
+        K[0] * even[:th]
+        + K[1] * odd[:th]
+        + K[2] * even[1 : th + 1]
+        + K[3] * odd[1 : th + 1]
+    )
+    o_ref[0] = _down_w(yh, K).astype(o_ref.dtype)
 
 
-def _up1d(x, taps, axis):
-    """Factor-2 FIR interpolation along `axis` (pad (2,1), gain folded into
-    taps)."""
-    c0, c1, c2, c3 = [float(t) for t in taps[::-1]]
-    even = c0 * _shift_down(x, axis) + c2 * x
-    odd = c1 * x + c3 * _shift_up(x, axis)
-    stacked = jnp.stack([even, odd], axis=axis + 1)
-    n = x.shape[axis]
-    new_shape = x.shape[:axis] + (2 * n,) + x.shape[axis + 1 :]
-    return stacked.reshape(new_shape)
+def _up_kernel(x_hbm, o_ref, scratch, sem, *, taps, th, w, c):
+    """One output H-tile (2 th rows) of the 2x upsample. Input pre-padded
+    by (1, 1) rows; tile t reads padded rows [t th, t th + th + 2)."""
+    C = taps[::-1]
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    rows_in = th + 2
+    row0 = pl.multiple_of(t * th, th)
+    dma = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(row0, rows_in)], scratch, sem
+    )
+    dma.start()
+    dma.wait()
+    s = scratch[:]  # (th + 2, w, c)
+    even = C[0] * s[:th] + C[2] * s[1 : th + 1]
+    odd = C[1] * s[1 : th + 1] + C[3] * s[2 : th + 2]
+    yh = jnp.stack([even, odd], axis=1).reshape(2 * th, w, c)
+    o_ref[0] = _up_w(yh, C).astype(o_ref.dtype)
 
 
-def _resample_kernel(x_ref, o_ref, *, taps, mode):
-    x = x_ref[:]  # block (1, H, W, C_tile): spatial axes are 1 and 2
-    if mode == "down":
-        h = _down1d(x, taps, 1)
-        o_ref[:] = _down1d(h, taps, 2).astype(o_ref.dtype)
-    else:
-        h = _up1d(x, taps, 1)
-        o_ref[:] = _up1d(h, taps, 2).astype(o_ref.dtype)
-
-
-@functools.partial(
-    jax.jit, static_argnames=("taps", "mode", "c_tile", "interpret")
-)
-def _resample2x(x, taps, mode, c_tile, interpret=False):
-    b, h, w, c = x.shape
-    if mode == "down":
-        out_shape = (b, h // 2, w // 2, c)
-    else:
-        out_shape = (b, 2 * h, 2 * w, c)
-    grid = (b, c // c_tile)
-    return pl.pallas_call(
-        functools.partial(_resample_kernel, taps=taps, mode=mode),
-        out_shape=jax.ShapeDtypeStruct(out_shape, x.dtype),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (1, h, w, c_tile),
-                lambda i, j: (i, 0, 0, j),
-                memory_space=pltpu.ANY if interpret else pltpu.VMEM,
-            )
-        ],
-        out_specs=pl.BlockSpec(
-            (1, out_shape[1], out_shape[2], c_tile),
-            lambda i, j: (i, 0, 0, j),
-            memory_space=pltpu.ANY if interpret else pltpu.VMEM,
-        ),
-        interpret=interpret,
-    )(x)
+def _pick_th(h_out: int, w: int, c: int, itemsize: int, mode: str):
+    """Largest power-of-two output-tile height fitting the VMEM budget."""
+    th = 1
+    best = None
+    while th <= h_out:
+        if h_out % th == 0:
+            if mode == "down":
+                rows_in, w_out = 2 * th + 2, w // 2
+            else:
+                rows_in, w_out = th + 2, 2 * w
+                # up kernel also materializes yh (2 th, w, c)
+            scratch = rows_in * w * c * itemsize
+            inter = (2 * th * w * c * itemsize) if mode == "up" else 0
+            out = (2 * th if mode == "up" else th) * w_out * c * itemsize
+            if scratch + inter + out <= _VMEM_BUDGET:
+                best = th
+        th *= 2
+    return best
 
 
 def match_pattern(
     kernel_np, up, down, pad4, data_format, shape, itemsize, force=False
 ):
-    """Return ("down"|"up", taps, c_tile) when the call matches a Pallas
-    fast pattern, else None.
-
-    Patterns (NHWC only):
-      down2: up=(1,1), down=(2,2), pad=(1,1,1,1), 4-tap separable kernel
-      up2:   up=(2,2), down=(1,1), pad=(2,1,2,1), 4-tap separable kernel
-    Enabled by DIFFSEP_PALLAS=1 (or force=True).
-    """
-    import os
-
+    """Return ("down"|"up", taps, th) when the call matches a Pallas fast
+    pattern, else None. Enabled by DIFFSEP_PALLAS=1 (or force=True)."""
     if os.environ.get("DIFFSEP_PALLAS", "0") != "1" and not force:
         return None
     if data_format != "NHWC" or len(shape) != 4:
@@ -159,33 +159,62 @@ def match_pattern(
     if taps is None:
         return None
     b, h, w, c = shape
-
-    interpret = jax.default_backend() == "cpu"
-    c_tile = None
-    for ct in (128, 64, 32, 16, 8, c):
-        if c % ct == 0:
-            bytes_needed = (h * w + 4 * h * w) * ct * itemsize
-            if bytes_needed <= _VMEM_BUDGET or interpret:
-                c_tile = ct
-                break
-    if c_tile is None:
+    if c % 128 != 0 or w % 8 != 0 or h % 2 != 0 or w < 16:
         return None
 
     if (
         tuple(up) == (1, 1)
         and tuple(down) == (2, 2)
         and tuple(pad4) == (1, 1, 1, 1)
-        and h % 2 == 0
         and w % 2 == 0
     ):
-        return ("down", tuple(float(t) for t in taps), c_tile)
-    if (
-        tuple(up) == (2, 2)
-        and tuple(down) == (1, 1)
-        and tuple(pad4) == (2, 1, 2, 1)
-    ):
-        return ("up", tuple(float(t) for t in taps), c_tile)
+        th = _pick_th(h // 2, w, c, itemsize, "down")
+        if th is None:
+            return None
+        return ("down", tuple(float(t) for t in taps), th)
+    if tuple(up) == (2, 2) and tuple(down) == (1, 1) and tuple(pad4) == (2, 1, 2, 1):
+        th = _pick_th(h, w, c, itemsize, "up")
+        if th is None:
+            return None
+        return ("up", tuple(float(t) for t in taps), th)
     return None
+
+
+@functools.partial(
+    jax.jit, static_argnames=("taps", "mode", "th", "interpret")
+)
+def _resample2x(x, taps, mode, th, interpret=False):
+    b, h, w, c = x.shape
+    if mode == "down":
+        h_out, w_out = h // 2, w // 2
+        x_pad = jnp.pad(x, ((0, 0), (1, 2), (0, 0), (0, 0)))
+        kern = functools.partial(_down_kernel, taps=taps, th=th, w=w, c=c)
+        rows_in = 2 * th + 2
+        tile_h = th
+    else:
+        h_out, w_out = 2 * h, 2 * w
+        x_pad = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0)))
+        kern = functools.partial(_up_kernel, taps=taps, th=th, w=w, c=c)
+        rows_in = th + 2
+        tile_h = 2 * th
+
+    grid = (b, h_out // tile_h)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((b, h_out, w_out, c), x.dtype),
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, tile_h, w_out, c),
+            lambda bi, ti: (bi, ti, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((rows_in, w, c), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(x_pad)
 
 
 def pallas_apply(x, kernel_tuple, up, down, pad4, data_format):
@@ -196,6 +225,6 @@ def pallas_apply(x, kernel_tuple, up, down, pad4, data_format):
     )
     if plan is None:  # pragma: no cover - guarded by dispatcher
         raise NotImplementedError("no Pallas fast path for this call")
-    mode, taps, c_tile = plan
+    mode, taps, th = plan
     interpret = jax.default_backend() == "cpu"
-    return _resample2x(x, taps, mode, c_tile, interpret)
+    return _resample2x(x, taps, mode, th, interpret)
