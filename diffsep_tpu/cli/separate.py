@@ -87,14 +87,11 @@ def main(argv=None):
 
     args.output_dir.mkdir(parents=True, exist_ok=True)
 
-    # jit the separation once per signal length (lengths bucketed to 1 s)
-    @jax.jit
-    def _sep(params, key, mix):
-        est, nfe = model.separate(params, key, mix, **kw)
-        return est
+    from ..train.losses import denormalize_batch, normalize_batch
 
     key = jax.random.PRNGKey(args.seed)
     files = sorted(args.input_dir.glob("*.wav"))
+    bucket = model_sr  # 1 s length buckets => one compile per bucket
     for i, wavpath in enumerate(tqdm(files, desc="Separating wav files")):
         waveform, sr = load_wav(wavpath)
         if sr != model_sr:
@@ -104,7 +101,18 @@ def main(argv=None):
             )
             continue
         mix = jnp.asarray(waveform)[None]  # (1, 1, T)
-        est = _sep(params, jax.random.fold_in(key, i), mix)
+        # normalize on the true length, then pad to the bucket so XLA
+        # compiles one program per bucket instead of one per file
+        (mix_n, _), mean, std = normalize_batch(mix, None)
+        n = mix_n.shape[-1]
+        padded = -(-n // bucket) * bucket
+        mix_p = jnp.pad(mix_n, ((0, 0), (0, 0), (0, padded - n)))
+        sampler = model.get_pc_sampler(
+            "reverse_diffusion", "ald2", mix_p, params,
+            key=jax.random.fold_in(key, i), **kw,
+        )
+        est, _ = sampler()
+        est = denormalize_batch(est[..., :n], mean, std)
         est = scale_output(np.asarray(mix), np.asarray(est))
         for src in range(est.shape[1]):
             out = args.output_dir / f"s{src}" / f"{wavpath.stem}.wav"
