@@ -144,7 +144,10 @@ def evaluate_split(
             )
             t_s = time.perf_counter()
             out = sampler()
-            x_result, nfe, *others = jax.block_until_ready(out)
+            x_result, nfe, *others = out
+            # force completion: async dispatch (and some remote backends'
+            # block_until_ready) returns before execution finishes
+            x_result = jnp.asarray(np.asarray(jax.device_get(x_result)))
             t_proc = time.perf_counter() - t_s
             x_result = x_result[..., :n_samples]
             intmet = others[0] if others else None

@@ -71,7 +71,8 @@ def evaluate_range(
             "reverse_diffusion", "ald2", mix_n, d_params,
             key=jax.random.fold_in(key, idx), **sampler_kwargs,
         )
-        x_result, nfe = jax.block_until_ready(sampler())
+        x_result, nfe = sampler()
+        x_result = np.asarray(jax.device_get(x_result))  # force completion
         t_proc = time.perf_counter() - t_s
         # compare in the normalized domain like the reference
         target_n = (target - np.asarray(mean)) / np.asarray(std)

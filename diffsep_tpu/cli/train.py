@@ -54,10 +54,13 @@ def main(argv=None):
     run_dir = make_run_dir(cfg, overrides)
     log.info("run dir: %s", run_dir)
 
+    # bucket batch lengths to 1 s so the jitted train step compiles a
+    # handful of shapes (short files make pad-to-longest batches vary)
+    pad_mult = int(cfg.model.fs)
     if cfg.name == "enhancement":
-        dm = Valentini_Module(cfg)
+        dm = Valentini_Module(cfg, pad_to_multiple=pad_mult)
     else:
-        dm = WSJ0_mix_Module(cfg)
+        dm = WSJ0_mix_Module(cfg, pad_to_multiple=pad_mult)
 
     model = DiffSepModel(cfg)
 
