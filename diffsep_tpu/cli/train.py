@@ -47,6 +47,12 @@ def main(argv=None):
     overrides = list(argv if argv is not None else sys.argv[1:])
     cfg = compose(overrides)
 
+    # multi-host TPU pods: bring up the JAX process group (no-op on a
+    # single host) — the NCCL/DDP equivalent (SURVEY.md §2.8)
+    from ..utils.distributed import initialize_distributed
+
+    initialize_distributed()
+
     from ..data.datamodule import Valentini_Module, WSJ0_mix_Module
     from ..model import DiffSepModel
     from ..train.loop import fit

@@ -15,11 +15,28 @@ def is_rank_zero() -> bool:
 
 
 def initialize_distributed(**kwargs) -> None:
-    """Initialize the JAX multi-process runtime (no-op when single
-    process). On TPU pods the coordinator/process env is auto-detected."""
-    if jax.process_count() > 1:
+    """Initialize the JAX multi-process runtime when a pod/cluster
+    environment is detected; a no-op on single-host runs.
+
+    On TPU pods the coordinator address and process count are auto-detected
+    from the TPU metadata / cluster env (JAX_COORDINATOR_ADDRESS etc.)."""
+    import os
+
+    cluster_env = any(
+        os.environ.get(k)
+        for k in (
+            "JAX_COORDINATOR_ADDRESS",
+            "COORDINATOR_ADDRESS",
+            "MEGASCALE_COORDINATOR_ADDRESS",
+        )
+    )
+    if not cluster_env and not kwargs:
         return
     try:
         jax.distributed.initialize(**kwargs)
-    except (ValueError, RuntimeError):
-        pass  # single-process run
+    except (ValueError, RuntimeError) as e:  # pragma: no cover
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "jax.distributed.initialize failed (%s); continuing single-process", e
+        )
