@@ -27,6 +27,14 @@ Constraints for the fast path: C % 128 == 0 (lane width), W % 8 == 0 and
 even H (tiling), which covers the four largest U-Net levels where nearly
 all resampling bandwidth is spent; other calls fall back to the fused XLA
 conv.
+
+Status: numerically exact vs the conv reference (tests/test_pallas_upfirdn
+runs fwd + grad in interpret mode) but OFF by default (DIFFSEP_PALLAS=1 to
+enable): on the current TPU AOT toolchain, a pallas_call inside the
+sampler's while-loop makes XLA scope the kernel result on the VMEM stack
+and OOM at batch-16 level-1 sizes, and the XLA conv path already runs the
+full forward at ~39% MFU where resampling is a minor term. Revisit when
+standalone (non-scan) use or a newer toolchain is the target.
 """
 from __future__ import annotations
 
