@@ -144,20 +144,49 @@ def conv3x3(
     )
 
 
-def group_norm(channels: int) -> nn.GroupNorm:
-    """GroupNorm(min(c//4, 32), eps=1e-6) as used throughout NCSN++.
+class GroupNorm(nn.Module):
+    """Group normalization with float32 statistics and dtype-preserving
+    output.
 
-    Statistics are always computed in float32 (inputs are upcast by the
-    caller when running the backbone in bfloat16)."""
-    return nn.GroupNorm(
-        num_groups=max(min(channels // 4, 32), 1), epsilon=1e-6
-    )
+    Drop-in replacement for flax nn.GroupNorm (same param names scale/bias
+    and the same auto-name "GroupNorm_<k>", so converted checkpoints are
+    unaffected). Statistics are accumulated in float32 via reduction dtype —
+    no float32 copy of the activation tensor is materialized, which matters
+    when the backbone computes in bfloat16 (the norms are a large share of
+    HBM traffic)."""
+
+    num_groups: int
+    epsilon: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        c = x.shape[-1]
+        g = self.num_groups
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        xg = x.reshape(*x.shape[:-1], g, c // g)
+        red = tuple(range(1, x.ndim - 1)) + (x.ndim,)
+        mean = jnp.mean(xg, axis=red, keepdims=True, dtype=jnp.float32)
+        var = jnp.mean(
+            jnp.square(xg.astype(jnp.float32) - mean),
+            axis=red,
+            keepdims=True,
+            dtype=jnp.float32,
+        )
+        inv = jax.lax.rsqrt(var + self.epsilon)
+        y = (xg.astype(jnp.float32) - mean) * inv
+        y = y.reshape(x.shape).astype(x.dtype)
+        return y * scale.astype(x.dtype) + bias.astype(x.dtype)
 
 
-def norm_act(gn: nn.GroupNorm, act, x: Array) -> Array:
-    """GroupNorm (in f32) followed by activation, preserving x's dtype."""
-    h = gn(x.astype(jnp.float32))
-    return act(h).astype(x.dtype)
+def group_norm(channels: int) -> GroupNorm:
+    """GroupNorm(min(c//4, 32), eps=1e-6) as used throughout NCSN++."""
+    return GroupNorm(num_groups=max(min(channels // 4, 32), 1), epsilon=1e-6)
+
+
+def norm_act(gn, act, x: Array) -> Array:
+    """GroupNorm followed by activation, preserving x's dtype."""
+    return act(gn(x)).astype(x.dtype)
 
 
 class Combine(nn.Module):
@@ -191,7 +220,7 @@ class AttnBlockpp(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         b, h_dim, w_dim, c = x.shape
-        h = group_norm(c)(x.astype(jnp.float32)).astype(x.dtype)
+        h = group_norm(c)(x)
         q = NIN(c, name="NIN_0")(h)
         k = NIN(c, name="NIN_1")(h)
         v = NIN(c, name="NIN_2")(h)

@@ -365,25 +365,19 @@ class NCSNpp(nn.Module):
                 if i_level == num_resolutions - 1:
                     if self.progressive == "output_skip":
                         # GroupNorm stats in f32, activations back in cdtype
-                        pyramid = act(
-                            modules[m_idx](h.astype(jnp.float32))
-                        ).astype(cdtype)
+                        pyramid = act(modules[m_idx](h)).astype(cdtype)
                         m_idx += 1
                         pyramid = modules[m_idx](pyramid)
                         m_idx += 1
                     elif self.progressive == "residual":
-                        pyramid = act(
-                            modules[m_idx](h.astype(jnp.float32))
-                        ).astype(cdtype)
+                        pyramid = act(modules[m_idx](h)).astype(cdtype)
                         m_idx += 1
                         pyramid = modules[m_idx](pyramid)
                         m_idx += 1
                 else:
                     if self.progressive == "output_skip":
                         pyramid = self.pyramid_upsample(pyramid)
-                        pyramid_h = act(
-                            modules[m_idx](h.astype(jnp.float32))
-                        ).astype(cdtype)
+                        pyramid_h = act(modules[m_idx](h)).astype(cdtype)
                         m_idx += 1
                         pyramid_h = modules[m_idx](pyramid_h)
                         m_idx += 1
@@ -409,9 +403,7 @@ class NCSNpp(nn.Module):
         if self.progressive == "output_skip":
             h = pyramid
         else:
-            h = act(modules[m_idx](h.astype(jnp.float32))).astype(
-                self.compute_dtype
-            )
+            h = act(modules[m_idx](h)).astype(self.compute_dtype)
             m_idx += 1
             h = modules[m_idx](h)
             m_idx += 1
