@@ -95,6 +95,62 @@ class SDE(abc.ABC):
     def copy(self, **updates) -> "SDE":
         return dataclasses.replace(self, **updates)
 
+    def reverse(self, score_fn: ScoreFn, probability_flow: bool = False):
+        """Object-style reverse-SDE API (parity with sdes/sdes.py:109-173).
+
+        Returns an object with `.sde`, `.rsde_parts` and `.discretize`
+        mirroring the reference's dynamically-built RSDE; `reverse_sde` /
+        `reverse_discretize` are the underlying pure functions."""
+        return ReverseSDE(self, score_fn, probability_flow)
+
+
+class ReverseSDE:
+    """Reverse-time SDE/ODE view of a forward SDE (RSDE parity,
+    sdes/sdes.py:121-173)."""
+
+    def __init__(self, sde: SDE, score_fn: ScoreFn, probability_flow: bool = False):
+        self.forward_sde = sde
+        self.score_fn = score_fn
+        self.probability_flow = probability_flow
+        self.N = sde.N
+        self.T = sde.T
+
+    def sde(self, x: Array, t: Array, cond: Array):
+        return reverse_sde(
+            self.forward_sde, self.score_fn, x, t, cond, self.probability_flow
+        )
+
+    def rsde_parts(self, x: Array, t: Array, cond: Array):
+        """All parts of the reverse drift (sdes/sdes.py:139-161)."""
+        sde_drift, sde_diffusion = self.forward_sde.sde(x, t, cond)
+        score = self.score_fn(x, t, cond)
+        g2 = _square_bcast(sde_diffusion, x)
+        score_drift = -g2 * score * (0.5 if self.probability_flow else 1.0)
+        diffusion = (
+            jnp.zeros_like(sde_diffusion)
+            if self.probability_flow
+            else sde_diffusion
+        )
+        return {
+            "total_drift": sde_drift + score_drift,
+            "diffusion": diffusion,
+            "sde_drift": sde_drift,
+            "sde_diffusion": sde_diffusion,
+            "score_drift": score_drift,
+            "score": score,
+        }
+
+    def discretize(self, x: Array, t: Array, cond: Array, dt=None):
+        return reverse_discretize(
+            self.forward_sde,
+            self.score_fn,
+            x,
+            t,
+            cond,
+            dt=dt,
+            probability_flow=self.probability_flow,
+        )
+
 
 def reverse_sde(
     sde: SDE,

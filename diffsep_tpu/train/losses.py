@@ -74,6 +74,16 @@ def shuffle_sources(key: jax.Array, x: Array) -> Array:
     )
 
 
+def select_elem_at_random(key: jax.Array, x: Array, dim: int = -1) -> Array:
+    """Pick one random slice along `dim` per batch entry, keeping the dim
+    with size 1 (pl_model.py:49-57)."""
+    x = jnp.moveaxis(x, dim, -1)
+    idx = jax.random.randint(key, (x.shape[0],), 0, x.shape[-1])
+    idx = idx.reshape((-1,) + (1,) * (x.ndim - 1))
+    picked = jnp.take_along_axis(x, idx, axis=-1)
+    return jnp.moveaxis(picked, -1, dim)
+
+
 def power_order_sources(x: Array) -> Array:
     """Order sources by increasing variance (pl_model.py:60-78)."""
     c = jnp.var(x, axis=-1)
