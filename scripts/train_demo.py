@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""End-to-end learning demo on synthetic separable mixtures.
+
+Trains a small NCSN++ score model on mixtures of two spectrally-disjoint
+sources (low-band vs high-band filtered noise), then separates held-out
+mixtures with the PC sampler and reports SI-SDR against the unprocessed
+mixture floor. A working system must clearly beat the floor — this
+validates the whole loop (loss -> optimizer -> EMA -> sampler) with real
+gradient descent, not just shape checks.
+
+Run (TPU or CPU):  python scripts/train_demo.py [steps]
+Writes /tmp/train_demo_result.json and prints a summary line.
+"""
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffsep_tpu.compilation_cache import enable as _enable_cache
+
+_enable_cache()
+
+
+def make_batch(rng, b, n, fs=8000):
+    """Source 1: low-band noise; source 2: high-band noise."""
+    from scipy.signal import butter, lfilter
+
+    lo_b, lo_a = butter(4, 500 / (fs / 2), "low")
+    hi_b, hi_a = butter(4, 1500 / (fs / 2), "high")
+    s1 = lfilter(lo_b, lo_a, rng.standard_normal((b, n)), axis=-1)
+    s2 = lfilter(hi_b, hi_a, rng.standard_normal((b, n)), axis=-1)
+    s1 = s1 / np.std(s1, axis=-1, keepdims=True)
+    s2 = s2 / np.std(s2, axis=-1, keepdims=True)
+    tgt = np.stack([s1, s2], axis=1).astype(np.float32) * 0.1
+    return tgt.sum(axis=1, keepdims=True), tgt
+
+
+def main():
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 400
+    from diffsep_tpu.config import compose
+    from diffsep_tpu.model import DiffSepModel
+    from diffsep_tpu.models.losses import SISDRLoss
+
+    cfg = compose(
+        [
+            "model.score_model.backbone_args.nf=32",
+            "model.score_model.backbone_args.ch_mult=[1,1,2]",
+            "model.score_model.backbone_args.num_res_blocks=1",
+            "model.score_model.backbone_args.attn_resolutions=[64]",
+            "model.score_model.backbone_args.dtype=bfloat16",
+            "model.train_source_order=power",
+            "model.optimizer.lr=0.001",
+            "trainer.accumulate_grad_batches=1",
+        ]
+    )
+    model = DiffSepModel(cfg)
+
+    rng = np.random.default_rng(0)
+    fs, n, b = 8000, 8000, 16
+    mix, tgt = make_batch(rng, b, n, fs)
+    mix_j, tgt_j = jnp.asarray(mix), jnp.asarray(tgt)
+
+    def sync(x):
+        return np.asarray(jax.device_get(x))
+
+    state = model.init_state(jax.random.PRNGKey(0), mix_j, tgt_j)
+    sync(state.step)
+    step_fn = jax.jit(model.make_train_step(jax.random.PRNGKey(1)), donate_argnums=(0,))
+
+    t0 = time.perf_counter()
+    loss0 = None
+    for i in range(steps):
+        mix_np, tgt_np = make_batch(rng, b, n, fs)
+        state, metrics = step_fn(state, jnp.asarray(mix_np), jnp.asarray(tgt_np))
+        if i == 0:
+            loss0 = float(sync(metrics["train/score_loss"]))
+        if (i + 1) % 100 == 0:
+            print(
+                f"step {i + 1}: loss {float(sync(metrics['train/score_loss'])):.4f}",
+                flush=True,
+            )
+    loss_final = float(sync(metrics["train/score_loss"]))
+    train_time = time.perf_counter() - t0
+
+    # held-out evaluation
+    mix_te, tgt_te = make_batch(np.random.default_rng(123), 8, n, fs)
+    est, nfe = model.separate(
+        state.ema.params, jax.random.PRNGKey(7), jnp.asarray(mix_te), N=30
+    )
+    est = sync(est)
+
+    metric = SISDRLoss(zero_mean=True, clamp_db=30, reduction="mean", sign_flip=True)
+    si_sdr_est = float(metric(jnp.asarray(est), jnp.asarray(tgt_te)))
+    floor = float(
+        metric(jnp.broadcast_to(jnp.asarray(mix_te), tgt_te.shape), jnp.asarray(tgt_te))
+    )
+    result = {
+        "steps": steps,
+        "train_time_s": round(train_time, 1),
+        "loss_first": round(loss0, 4),
+        "loss_final": round(loss_final, 4),
+        "si_sdr_mixture_floor_db": round(floor, 2),
+        "si_sdr_separated_db": round(si_sdr_est, 2),
+        "improvement_db": round(si_sdr_est - floor, 2),
+    }
+    print(json.dumps(result), flush=True)
+    with open("/tmp/train_demo_result.json", "w") as f:
+        json.dump(result, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
