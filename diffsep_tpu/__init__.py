@@ -20,3 +20,16 @@ Layering (bottom-up):
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level conveniences: diffsep_tpu.DiffSepModel / compose."""
+    if name == "DiffSepModel":
+        from .model import DiffSepModel
+
+        return DiffSepModel
+    if name == "compose":
+        from .config import compose
+
+        return compose
+    raise AttributeError(name)

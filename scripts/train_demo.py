@@ -35,14 +35,15 @@ def make_batch(rng, b, n, fs=8000):
     hi_b, hi_a = butter(4, 1500 / (fs / 2), "high")
     s1 = lfilter(lo_b, lo_a, rng.standard_normal((b, n)), axis=-1)
     s2 = lfilter(hi_b, hi_a, rng.standard_normal((b, n)), axis=-1)
-    s1 = s1 / np.std(s1, axis=-1, keepdims=True)
-    s2 = s2 / np.std(s2, axis=-1, keepdims=True)
-    tgt = np.stack([s1, s2], axis=1).astype(np.float32) * 0.1
+    # distinct powers make the (non-PIT) power-ordered target well defined
+    s1 = s1 / np.std(s1, axis=-1, keepdims=True) * 0.13
+    s2 = s2 / np.std(s2, axis=-1, keepdims=True) * 0.07
+    tgt = np.stack([s1, s2], axis=1).astype(np.float32)
     return tgt.sum(axis=1, keepdims=True), tgt
 
 
 def main():
-    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 400
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
     from diffsep_tpu.config import compose
     from diffsep_tpu.model import DiffSepModel
     from diffsep_tpu.models.losses import SISDRLoss
