@@ -203,6 +203,29 @@ def test_enhancement_recipe_e2e(tmp_path_factory):
     assert len(res) == 1 and len(res[0]["si_sdr"]) == 1  # n_src=1 in enhance
 
 
+def test_evaluate_mp_batched(trained_run_dir, wsj0_tree, tmp_path, monkeypatch):
+    """Throughput mode: bucketed batches, per-utterance metrics preserved."""
+    import diffsep_tpu.cli.evaluate_mp as emp
+
+    monkeypatch.chdir(wsj0_tree.parent)
+    out = tmp_path / "mp_batched"
+    emp.main(
+        [
+            str(trained_run_dir),
+            "--splits", "test",
+            "-o", str(out),
+            "-N", "2",
+            "-b", "2",
+            "--bucket-s", "1.0",
+        ]
+    )
+    out_dirs = list(out.iterdir())
+    res = json.loads((out_dirs[0] / "test.json").read_text())
+    assert [r["batch_idx"] for r in res] == [0, 1]
+    lens = sorted(r["len_s"] for r in res)
+    assert lens[0] != lens[1]  # unpadded lengths preserved per utterance
+
+
 def test_make_tasks():
     from diffsep_tpu.cli.evaluate_mp import make_tasks
 
