@@ -20,7 +20,7 @@ PESQ remains gated behind the optional GPL `pesq` package
 from __future__ import annotations
 
 import itertools
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

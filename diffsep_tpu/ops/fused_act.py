@@ -11,7 +11,6 @@ produces the exact custom backward the CUDA version hand-codes.
 """
 from __future__ import annotations
 
-import math
 
 import jax.numpy as jnp
 

@@ -14,7 +14,6 @@ converted checkpoints drop in directly.
 from __future__ import annotations
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 from jax import lax
 

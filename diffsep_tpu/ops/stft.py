@@ -20,7 +20,6 @@ All functions are pure and jit-friendly (static shapes only).
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

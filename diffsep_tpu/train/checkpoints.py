@@ -12,10 +12,9 @@ counter, optimizer state, clipper state, step), so resume is exact.
 """
 from __future__ import annotations
 
-import json
 import os
 from pathlib import Path
-from typing import Any, Dict, Optional
+from typing import Dict, Optional
 
 import jax
 import numpy as np
