@@ -83,6 +83,35 @@ def test_pc_sampler_jit_once_scan(caplog):
     assert len(calls) <= 4, f"score_fn traced {len(calls)} times"
 
 
+def test_scheduled_timesteps_match_torch():
+    """Named schedules reproduce the reference's torch.linspace/logspace
+    grids (sdes/__init__.py:92-109)."""
+    import math
+
+    import torch
+
+    T, eps, N = 1.0, 0.03, 30
+    for sched in ["linear", "log", "revlog"]:
+        ts, dts = make_timesteps(T, eps, N, sched)
+        if sched == "linear":
+            grid = torch.linspace(T, eps, N + 1)
+        elif sched == "log":
+            grid = torch.logspace(
+                math.log10(T), math.log10(eps), N + 1, base=10.0
+            )
+        else:
+            grid = torch.logspace(
+                math.log10(eps), math.log10(T), N + 1, base=10.0
+            ).flip(dims=(0,))
+        np.testing.assert_allclose(
+            np.asarray(ts), grid[:-1].numpy(), rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(dts), (grid[:-1] - grid[1:]).abs().numpy(), rtol=1e-4,
+            atol=1e-7,
+        )
+
+
 def test_scheduled_timesteps():
     ts, dts = make_timesteps(1.0, 0.03, 30, None)
     assert ts.shape == (30,) and float(ts[0]) == 1.0
