@@ -53,7 +53,7 @@ def build():
     model = DiffSepModel(cfg)
     fs = 8000
     n_samples = 5 * fs
-    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    batch = int(os.environ.get("BENCH_BATCH", "16"))
     rng = np.random.default_rng(0)
     mix = jnp.asarray(rng.standard_normal((batch, 1, n_samples)), jnp.float32) * 0.1
     tgt = jnp.zeros((batch, 2, n_samples), jnp.float32)
