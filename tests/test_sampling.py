@@ -157,6 +157,43 @@ def test_ode_sampler_rk4_tracks_analytic_score():
     assert err < 0.15, err
 
 
+def test_ode_rk45_host_matches_rk4_device():
+    """The host scipy RK45 path (reference parity) and the on-device RK4
+    path solve the same probability-flow ODE."""
+    sde = MixSDE(ndim=2, N=40)
+    n = 64
+    s1 = np.cos(2 * np.pi * 3 * np.arange(n) / n)
+    s2 = 0.5 * np.sin(2 * np.pi * 5 * np.arange(n) / n)
+    x0 = jnp.asarray(np.stack([s1, s2])[None].astype(np.float32))
+    mix = x0.sum(axis=1, keepdims=True)
+    score = analytic_score(sde, x0)
+    key = jax.random.PRNGKey(5)
+    x_rk4, _ = ode_sample(key, sde, score, mix, method="rk4")
+    x_rk45, _ = ode_sample(key, sde, score, mix, method="rk45")
+    np.testing.assert_allclose(
+        np.asarray(x_rk4), np.asarray(x_rk45), atol=0.05
+    )
+
+
+def test_scheduled_linear_close_to_plain():
+    """schedule='linear' (N+1 grid + explicit dt) and the plain sampler
+    integrate the same reverse SDE — with the analytic score both recover
+    the sources."""
+    sde = MixSDE(ndim=2, N=50)
+    n = 64
+    s1 = np.sin(2 * np.pi * 4 * np.arange(n) / n)
+    s2 = 0.6 * np.cos(2 * np.pi * 7 * np.arange(n) / n)
+    x0 = jnp.asarray(np.stack([s1, s2])[None].astype(np.float32))
+    mix = x0.sum(axis=1, keepdims=True)
+    score = analytic_score(sde, x0)
+    x_sched, _ = pc_sample(
+        jax.random.PRNGKey(1), sde, score, mix, schedule="linear",
+        snr=0.5, corrector_steps=1,
+    )
+    err = np.abs(np.asarray(x_sched) - np.asarray(x0)).mean()
+    assert err < 0.1, err
+
+
 def test_fibonaccispace():
     t = np.asarray(fibonaccispace(0.0, 1.0, 8))
     assert t.shape == (8,)
