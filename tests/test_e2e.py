@@ -141,6 +141,25 @@ def test_evaluate_mp_cli(trained_run_dir, wsj0_tree, tmp_path, monkeypatch):
     assert (out_dirs[0] / "test_summary.json").exists()
 
 
+def test_no_proc_sentinel(wsj0_tree, tmp_path, monkeypatch):
+    """__no_proc__ scores the raw mixture as the floor baseline
+    (evaluate.py:243-254)."""
+    import os
+
+    from diffsep_tpu.cli.evaluate import main
+
+    workdir = tmp_path / "wd"
+    (workdir / "data").mkdir(parents=True)
+    os.symlink(wsj0_tree, workdir / "data" / "wsj0_mix")
+    monkeypatch.chdir(workdir)
+    out = tmp_path / "floor"
+    main(["__no_proc__", "--test", "-o", str(out), "--limit", "1"])
+    res = json.loads((out / "mix" / "test.json").read_text())
+    assert res[0]["nfe"] == 0 and res[0]["runtime"] == 0.0
+    # broadcasting the mixture to both sources: SI-SDR defined and finite
+    assert all(np.isfinite(res[0]["si_sdr"]))
+
+
 def test_enhancement_recipe_e2e(tmp_path_factory):
     """noise-reduction recipe: PriorMixSDE + Valentini datamodule train ->
     checkpoint -> evaluate --enhance (vctk_demand + nr.yaml parity)."""
