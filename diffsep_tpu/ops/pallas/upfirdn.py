@@ -87,16 +87,19 @@ def _up_w(x, C):
     return jnp.stack([even, odd], axis=2).reshape(rows, 2 * w, ch)
 
 
-def _down_kernel(x_hbm, o_ref, scratch, sem, *, taps, th, w, c):
+def _down_kernel(x_hbm, o_hbm, scratch, out_buf, sem_in, sem_out, *, taps, th, w, c):
     """One output H-tile of the 2x downsample. Input pre-padded by (1, 2)
-    rows; tile t reads padded rows [2 t th, 2 t th + 2 th + 2)."""
+    rows; tile t reads padded rows [2 t th, 2 t th + 2 th + 2). Both input
+    and output live in HBM and move via explicit DMA (a VMEM-blocked output
+    makes XLA scope the whole custom-call result on the VMEM stack inside
+    while-loops)."""
     K = taps[::-1]  # convolution = flipped taps
     b = pl.program_id(0)
     t = pl.program_id(1)
     rows_in = 2 * th + 2
     row0 = pl.multiple_of(t * 2 * th, 2 * th)
     dma = pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(row0, rows_in)], scratch, sem
+        x_hbm.at[b, pl.ds(row0, rows_in)], scratch, sem_in
     )
     dma.start()
     dma.wait()
@@ -111,10 +114,16 @@ def _down_kernel(x_hbm, o_ref, scratch, sem, *, taps, th, w, c):
         + K[2] * even[1 : th + 1]
         + K[3] * odd[1 : th + 1]
     )
-    o_ref[0] = _down_w(yh, K).astype(o_ref.dtype)
+    out_buf[:] = _down_w(yh, K).astype(out_buf.dtype)
+    out_row0 = pl.multiple_of(t * th, th)
+    dma_out = pltpu.make_async_copy(
+        out_buf, o_hbm.at[b, pl.ds(out_row0, th)], sem_out
+    )
+    dma_out.start()
+    dma_out.wait()
 
 
-def _up_kernel(x_hbm, o_ref, scratch, sem, *, taps, th, w, c):
+def _up_kernel(x_hbm, o_hbm, scratch, out_buf, sem_in, sem_out, *, taps, th, w, c):
     """One output H-tile (2 th rows) of the 2x upsample. Input pre-padded
     by (1, 1) rows; tile t reads padded rows [t th, t th + th + 2)."""
     C = taps[::-1]
@@ -123,7 +132,7 @@ def _up_kernel(x_hbm, o_ref, scratch, sem, *, taps, th, w, c):
     rows_in = th + 2
     row0 = pl.multiple_of(t * th, th)
     dma = pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(row0, rows_in)], scratch, sem
+        x_hbm.at[b, pl.ds(row0, rows_in)], scratch, sem_in
     )
     dma.start()
     dma.wait()
@@ -131,7 +140,13 @@ def _up_kernel(x_hbm, o_ref, scratch, sem, *, taps, th, w, c):
     even = C[0] * s[:th] + C[2] * s[1 : th + 1]
     odd = C[1] * s[1 : th + 1] + C[3] * s[2 : th + 2]
     yh = jnp.stack([even, odd], axis=1).reshape(2 * th, w, c)
-    o_ref[0] = _up_w(yh, C).astype(o_ref.dtype)
+    out_buf[:] = _up_w(yh, C).astype(out_buf.dtype)
+    out_row0 = pl.multiple_of(t * 2 * th, 2 * th)
+    dma_out = pltpu.make_async_copy(
+        out_buf, o_hbm.at[b, pl.ds(out_row0, 2 * th)], sem_out
+    )
+    dma_out.start()
+    dma_out.wait()
 
 
 def _pick_th(h_out: int, w: int, c: int, itemsize: int, mode: str):
@@ -212,13 +227,11 @@ def _resample2x(x, taps, mode, th, interpret=False):
         out_shape=jax.ShapeDtypeStruct((b, h_out, w_out, c), x.dtype),
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(
-            (1, tile_h, w_out, c),
-            lambda bi, ti: (bi, ti, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
             pltpu.VMEM((rows_in, w, c), x.dtype),
+            pltpu.VMEM((tile_h, w_out, c), x.dtype),
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
