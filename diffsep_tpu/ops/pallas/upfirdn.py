@@ -31,10 +31,14 @@ conv.
 Status: numerically exact vs the conv reference (tests/test_pallas_upfirdn
 runs fwd + grad in interpret mode) but OFF by default (DIFFSEP_PALLAS=1 to
 enable): on the current TPU AOT toolchain, a pallas_call inside the
-sampler's while-loop makes XLA scope the kernel result on the VMEM stack
-and OOM at batch-16 level-1 sizes, and the XLA conv path already runs the
-full forward at ~39% MFU where resampling is a minor term. Revisit when
-standalone (non-scan) use or a newer toolchain is the target.
+sampler's while-loop makes XLA allocate the custom-call *result* on the
+VMEM stack and OOM at batch-16 level-1 sizes — this happens even with
+memory_space=ANY out_specs and explicit output DMA (the memory-space
+assignment pass scopes custom-call results in while bodies regardless;
+see the go/compile-time-vmem-oom pointer in the compiler error). The XLA
+conv path already runs the full forward at ~39% MFU where resampling is a
+minor term. Revisit when standalone (non-scan) use or a newer toolchain
+is the target.
 """
 from __future__ import annotations
 
