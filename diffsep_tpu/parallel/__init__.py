@@ -1,14 +1,18 @@
 from .mesh import (
     data_sharding,
+    fsdp_shardings,
     local_device_count,
     make_mesh,
     replicated,
     shard_batch,
+    shard_params_fsdp,
 )
 from .shard_eval import make_sharded_separate, pad_batch_to_devices
 
 __all__ = [
     "make_mesh",
+    "fsdp_shardings",
+    "shard_params_fsdp",
     "data_sharding",
     "replicated",
     "shard_batch",

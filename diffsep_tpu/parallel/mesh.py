@@ -68,3 +68,36 @@ def shard_batch(batch, mesh: Mesh, axis: str = "dp"):
 
 def local_device_count() -> int:
     return jax.local_device_count()
+
+
+def fsdp_shardings(params, mesh: Mesh, axis: str = "dp", min_size: int = 2**16):
+    """ZeRO-3-style parameter sharding specs: each large parameter is split
+    along its largest mesh-divisible axis; small ones stay replicated.
+
+    With jit, XLA inserts the all-gathers on use and reduce-scatters on
+    gradients automatically — parameter memory per chip drops ~n_devices x
+    for the sharded tensors. The reference has no model-parallel analogue
+    (SURVEY.md §2.8 notes 'leave room for a model axis'); this provides it
+    without touching model code.
+    """
+    n = int(np.prod(mesh.devices.shape))
+
+    def spec_for(x):
+        if x.ndim == 0 or x.size < min_size:
+            return NamedSharding(mesh, P())
+        # choose the largest axis divisible by the mesh size
+        cands = [(d, s) for d, s in enumerate(x.shape) if s % n == 0]
+        if not cands:
+            return NamedSharding(mesh, P())
+        d = max(cands, key=lambda t: t[1])[0]
+        parts = [None] * x.ndim
+        parts[d] = axis
+        return NamedSharding(mesh, P(*parts))
+
+    return jax.tree_util.tree_map(spec_for, params)
+
+
+def shard_params_fsdp(params, mesh: Mesh, axis: str = "dp"):
+    """Place a parameter pytree according to `fsdp_shardings`."""
+    specs = fsdp_shardings(params, mesh, axis)
+    return jax.tree_util.tree_map(jax.device_put, params, specs)

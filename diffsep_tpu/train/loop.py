@@ -126,6 +126,35 @@ def fit(
             state = ckpt.restore(state)
     state = jax.device_put(state, NamedSharding(mesh, P()))
 
+    # ZeRO-style parameter sharding (trainer.strategy: fsdp): parameters,
+    # EMA shadow and matching optimizer moments are split over the dp axis;
+    # XLA inserts the gathers/scatters (parallel/mesh.py:fsdp_shardings)
+    if cfg_trainer.get("strategy") == "fsdp" and n_devices > 1:
+        from ..parallel.mesh import fsdp_shardings
+
+        specs = fsdp_shardings(state.params, mesh)
+
+        def put_like(tree):
+            return jax.tree_util.tree_map(jax.device_put, tree, specs)
+
+        def reshard_matching(node):
+            # shard any pytree whose structure matches params (adam mu/nu)
+            try:
+                return put_like(node)
+            except (ValueError, TypeError):
+                return node
+
+        state = state.replace(
+            params=put_like(state.params),
+            ema=state.ema._replace(params=put_like(state.ema.params)),
+            opt_state=jax.tree_util.tree_map(
+                reshard_matching,
+                state.opt_state,
+                is_leaf=lambda n: jax.tree_util.tree_structure(n)
+                == jax.tree_util.tree_structure(state.params),
+            ),
+        )
+
     train_step = jax.jit(model.make_train_step(k_train), donate_argnums=(0,))
     val_loss_fn = jax.jit(model.make_val_loss(k_val))
 

@@ -40,6 +40,45 @@ def test_pad_batch_to_devices():
     assert p.shape[0] == 8 and real == 8
 
 
+def test_fsdp_param_sharding_matches_replicated(rng):
+    """ZeRO-style parameter sharding must not change the training math:
+    a train step with fsdp-sharded params equals the replicated run."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from diffsep_tpu.parallel import fsdp_shardings, shard_params_fsdp
+    from tests.test_trainer import _setup
+
+    _, _, _, state, step_fn, mix, target = _setup()
+    step = jax.jit(step_fn)
+    s_ref, m_ref = step(state, mix, target)
+
+    mesh = make_mesh(8)
+    # shard params + ema with min_size=1 so even tiny test params shard
+    from diffsep_tpu.parallel.mesh import fsdp_shardings as _fs
+
+    specs = _fs(state.params, mesh, min_size=1)
+    sharded_params = jax.tree_util.tree_map(jax.device_put, state.params, specs)
+    assert any(
+        s.spec != P() for s in jax.tree_util.tree_leaves(specs)
+    ), "at least one param should actually shard"
+    state_dp = state.replace(params=sharded_params)
+    state_dp = jax.device_put(state_dp, NamedSharding(mesh, P()))
+    state_dp = state_dp.replace(params=sharded_params)
+    batch = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P("dp"))), (mix, target)
+    )
+    s_dp, m_dp = step(state_dp, *batch)
+    np.testing.assert_allclose(
+        float(m_ref["train/score_loss"]), float(m_dp["train/score_loss"]),
+        rtol=1e-5,
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s_ref.params),
+        jax.tree_util.tree_leaves(s_dp.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 def test_sharded_separate_matches_single_device(rng):
     model = _TinyModel()
     params = {"scale": jnp.asarray(0.7)}
