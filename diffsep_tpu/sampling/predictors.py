@@ -70,6 +70,38 @@ class ReverseDiffusionPredictor(Predictor):
         return x, x_mean
 
 
+@PredictorRegistry.register("heun")
+class HeunPredictor(Predictor):
+    """Second-order Heun step on the probability-flow ODE (deterministic;
+    pair with corrector "none"). Beyond-reference extra sampler.
+
+    Caveat measured on MixSDE: the pf-ODE is stiff near t -> eps (the score
+    scales like 1/Sigma(t)), so explicit Heun needs large N to converge and
+    does NOT give low-NFE wins here — a DPM-Solver-style exponential
+    integrator in log-SNR time would (future work, see PAPERS.md); the
+    stochastic reverse_diffusion+ald2 pair remains the production choice."""
+
+    def update(self, key, x, t, cond, dt=None):
+        if dt is None:
+            dt = 1.0 / self.sde.N
+        dt = -dt  # reverse time
+
+        def drift(x, t):
+            d, _ = reverse_sde(
+                self.sde, self.score_fn, x, t, cond, probability_flow=True
+            )
+            return d
+
+        d1 = drift(x, t)
+        x_euler = x + d1 * dt
+        # clamp the midpoint time: the final step would otherwise evaluate
+        # below t=0 where the marginal std is undefined
+        t_next = jnp.maximum(t + dt, 1e-4)
+        d2 = drift(x_euler, t_next)
+        x_next = x + 0.5 * dt * (d1 + d2)
+        return x_next, x_next
+
+
 @PredictorRegistry.register("none")
 class NonePredictor(Predictor):
     def __init__(self, *args, **kwargs):

@@ -36,10 +36,34 @@ def analytic_score(sde, x0):
 
 
 def test_registries():
-    for n in ["euler_maruyama", "reverse_diffusion", "none"]:
+    for n in ["euler_maruyama", "reverse_diffusion", "heun", "none"]:
         assert n in PredictorRegistry
     for n in ["langevin", "ald", "ald2", "none"]:
         assert n in CorrectorRegistry
+
+
+def test_heun_runs_and_converges_with_n():
+    """The deterministic Heun pf-ODE predictor runs and its error decreases
+    with N (the pf-ODE is stiff near eps for MixSDE — see the predictor's
+    docstring — so it needs large N; the SDE samplers are the production
+    path)."""
+    n = 128
+    s1 = np.sin(2 * np.pi * 3 * np.arange(n) / n)
+    s2 = 0.7 * np.cos(2 * np.pi * 6 * np.arange(n) / n)
+    x0 = jnp.asarray(np.stack([s1, s2])[None].astype(np.float32))
+    mix = x0.sum(axis=1, keepdims=True)
+
+    def err(N):
+        sde = MixSDE(ndim=2, N=N)
+        x, _ = pc_sample(
+            jax.random.PRNGKey(0), sde, analytic_score(sde, x0), mix,
+            predictor_name="heun", corrector_name="none",
+            probability_flow=True,
+        )
+        assert np.isfinite(np.asarray(x)).all()
+        return float(jnp.abs(x - x0).mean())
+
+    assert err(32) < err(8)
 
 
 @pytest.mark.parametrize("corrector", ["ald2", "ald", "langevin"])
