@@ -116,22 +116,27 @@ def pc_sample(
     key, prior_key = jax.random.split(key)
     x0 = sde.prior_sampling(prior_key, y)
     ts, dts = make_timesteps(sde.T, eps, sde.N, schedule)
+    # next grid time per step (for marginal-to-marginal integrators like
+    # "ddim"); the final step maps to the same time (identity transport, so
+    # the denoised output is the last data prediction)
+    ts_next = jnp.concatenate([ts[1:], ts[-1:]])
     native_dt = schedule is None
 
     def step(carry, inp):
         x, _ = carry
-        t_scalar, dt, k = inp
+        t_scalar, t_next_scalar, dt, k = inp
         kc, kp = jax.random.split(k)
         t = jnp.full((y.shape[0],), t_scalar, x.dtype)
+        t_next = jnp.full((y.shape[0],), t_next_scalar, x.dtype)
         x, x_mean = corrector.update(kc, x, t, y)
         x, x_mean = predictor.update(
-            kp, x, t, y, dt=None if native_dt else dt
+            kp, x, t, y, dt=None if native_dt else dt, t_next=t_next
         )
         out = jnp.stack([x, x_mean]) if intermediate else None
         return (x, x_mean), out
 
     keys = jax.random.split(key, sde.N)
-    (x, x_mean), ims = jax.lax.scan(step, (x0, x0), (ts, dts, keys))
+    (x, x_mean), ims = jax.lax.scan(step, (x0, x0), (ts, ts_next, dts, keys))
     result = x_mean if denoise else x
     nfe = sde.N * (corrector.n_steps + 1)
     if intermediate:

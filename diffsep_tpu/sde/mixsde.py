@@ -131,6 +131,31 @@ class MixSDE(SDE):
         Linv = (1.0 / a)[:, None, None] * A + (1.0 / b)[:, None, None] * Pn
         return Linv @ x
 
+    # --- closed-form operators for exponential/DDIM-style integrators ---
+    def mean_mat_inv(self, t: Array) -> Array:
+        """(A + e^{-lambda t} Pn)^{-1} = A + e^{lambda t} Pn."""
+        A, Pn = mix_mats(self.ndim)
+        grow = jnp.exp(t[:, None, None] * self.d_lambda)
+        return A + grow * Pn
+
+    def apply_mean_inv(self, t: Array, x: Array) -> Array:
+        return self.mean_mat_inv(t) @ x
+
+    def apply_mean(self, t: Array, x: Array) -> Array:
+        return self._mean_mix_mat(t) @ x
+
+    def std_ratio(self, t_next: Array, t: Array) -> Array:
+        """L(t_next) L(t)^{-1} = A sqrt(ev1'/ev1) + Pn sqrt(ev2'/ev2)."""
+        A, Pn = mix_mats(self.ndim)
+        ev1, ev2 = self._cov_eigval(t)
+        ev1n, ev2n = self._cov_eigval(t_next)
+        r1 = jnp.sqrt(ev1n / ev1)[:, None, None]
+        r2 = jnp.sqrt(ev2n / ev2)[:, None, None]
+        return r1 * A + r2 * Pn
+
+    def apply_std_ratio(self, t_next: Array, t: Array, x: Array) -> Array:
+        return self.std_ratio(t_next, t) @ x
+
     def prior_sampling(self, key: jax.Array, cond: Array) -> Array:
         """x_T = mix/ndim (broadcast over sources) + L(T) z (sdes.py:334-346)."""
         b, _, n_samples = cond.shape
@@ -252,6 +277,30 @@ class PriorMixSDE(SDE):
             sol = jnp.linalg.solve(Lp, xp)[..., 0]
             return jnp.moveaxis(sol, 1, -1)
         raise ValueError(f"ndim={ndim}, it should be >= 2")
+
+    # --- closed-form operators for exponential/DDIM-style integrators ---
+    # the per-sample power envelope is time-independent, so it cancels in
+    # L(t') L(t)^{-1}; the mean operators are identical to MixSDE's
+    def mean_mat_inv(self, t: Array) -> Array:
+        A, Pn = mix_mats(self.ndim)
+        grow = jnp.exp(t[:, None, None] * self.d_lambda)
+        return A + grow * Pn
+
+    def apply_mean_inv(self, t: Array, x: Array) -> Array:
+        return self.mean_mat_inv(t) @ x
+
+    def apply_mean(self, t: Array, x: Array) -> Array:
+        A, Pn = mix_mats(self.ndim, x.dtype)
+        decay = jnp.exp(-t[:, None, None] * self.d_lambda)
+        return (A + decay * Pn) @ x
+
+    def apply_std_ratio(self, t_next: Array, t: Array, x: Array) -> Array:
+        A, Pn = mix_mats(self.ndim)
+        ev1, ev2 = self._cov_eigval(t)
+        ev1n, ev2n = self._cov_eigval(t_next)
+        r1 = jnp.sqrt(ev1n / ev1)[:, None, None]
+        r2 = jnp.sqrt(ev2n / ev2)[:, None, None]
+        return (r1 * A + r2 * Pn) @ x
 
     def prior_sampling(self, key: jax.Array, cond: Array) -> Array:
         b, c, n_samples = cond.shape
