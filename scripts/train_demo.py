@@ -89,15 +89,21 @@ def main():
     loss_final = float(sync(metrics["train/score_loss"]))
     train_time = time.perf_counter() - t0
 
-    # held-out evaluation
+    # held-out evaluation: production PC sampler and the fast DDIM sampler
     mix_te, tgt_te = make_batch(np.random.default_rng(123), 8, n, fs)
+    metric = SISDRLoss(zero_mean=True, clamp_db=30, reduction="mean", sign_flip=True)
+
     est, nfe = model.separate(
         state.ema.params, jax.random.PRNGKey(7), jnp.asarray(mix_te), N=30
     )
-    est = sync(est)
+    si_sdr_est = float(metric(jnp.asarray(sync(est)), jnp.asarray(tgt_te)))
 
-    metric = SISDRLoss(zero_mean=True, clamp_db=30, reduction="mean", sign_flip=True)
-    si_sdr_est = float(metric(jnp.asarray(est), jnp.asarray(tgt_te)))
+    est_fast, _ = model.separate(
+        state.ema.params, jax.random.PRNGKey(7), jnp.asarray(mix_te),
+        predictor_name="ddim", corrector_name="none", N=6,
+    )
+    si_sdr_fast = float(metric(jnp.asarray(sync(est_fast)), jnp.asarray(tgt_te)))
+
     floor = float(
         metric(jnp.broadcast_to(jnp.asarray(mix_te), tgt_te.shape), jnp.asarray(tgt_te))
     )
@@ -108,6 +114,7 @@ def main():
         "loss_final": round(loss_final, 4),
         "si_sdr_mixture_floor_db": round(floor, 2),
         "si_sdr_separated_db": round(si_sdr_est, 2),
+        "si_sdr_ddim_n6_db": round(si_sdr_fast, 2),
         "improvement_db": round(si_sdr_est - floor, 2),
     }
     print(json.dumps(result), flush=True)
