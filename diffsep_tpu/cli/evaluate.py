@@ -79,6 +79,14 @@ def build_parser():
         "-s", "--schedule", type=str, default=None,
         help="Pick a different schedule for the inference",
     )
+    parser.add_argument(
+        "--predictor", type=str, default="reverse_diffusion",
+        help="Predictor name (ddim = fast exact-transition sampler)",
+    )
+    parser.add_argument(
+        "--corrector", type=str, default="ald2",
+        help="Corrector name (none with ddim)",
+    )
     parser.add_argument("--seed", type=int, default=0)
     return parser
 
@@ -99,6 +107,8 @@ def evaluate_split(
     no_proc=False,
     seed=0,
     bucket_s: float = 1.0,
+    predictor="reverse_diffusion",
+    corrector="ald2",
 ):
     """Evaluate one split; writes {split}.json and {split}_summary.json."""
     output_dir.mkdir(parents=True, exist_ok=True)
@@ -134,8 +144,8 @@ def evaluate_split(
             padded_len = -(-n_samples // bucket) * bucket
             mix_p = jnp.pad(mix, ((0, 0), (0, 0), (0, padded_len - n_samples)))
             sampler = model.get_pc_sampler(
-                "reverse_diffusion",
-                "ald2",
+                predictor,
+                corrector,
                 mix_p,
                 params,
                 key=jax.random.fold_in(key, batch_idx),
@@ -267,6 +277,7 @@ def main(argv=None):
             pesq_mode=args.pesq_mode,
             stoi_extended=not args.stoi_no_extended,
             no_proc=no_proc, seed=args.seed,
+            predictor=args.predictor, corrector=args.corrector,
         )
 
 

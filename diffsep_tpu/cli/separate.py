@@ -61,6 +61,15 @@ def main(argv=None):
         "-s", "--schedule", type=str, default=None,
         help="Pick a different schedule for the inference",
     )
+    parser.add_argument(
+        "--predictor", type=str, default="reverse_diffusion",
+        help="Predictor name (e.g. reverse_diffusion, ddim for the fast "
+        "exact-transition sampler)",
+    )
+    parser.add_argument(
+        "--corrector", type=str, default="ald2",
+        help="Corrector name (ald2 production; none with ddim)",
+    )
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
 
@@ -108,7 +117,7 @@ def main(argv=None):
         padded = -(-n // bucket) * bucket
         mix_p = jnp.pad(mix_n, ((0, 0), (0, 0), (0, padded - n)))
         sampler = model.get_pc_sampler(
-            "reverse_diffusion", "ald2", mix_p, params,
+            args.predictor, args.corrector, mix_p, params,
             key=jax.random.fold_in(key, i), **kw,
         )
         est, _ = sampler()
