@@ -259,8 +259,12 @@ def main(argv=None):
             f"N-{N}_snr-{snr}_corrstep-{corrector_steps}"
             f"_denoise-{args.denoise}_schedule-{args.schedule}"
         )
+        # resolve() first: a bare relative filename ("checkpoint.pt") has no
+        # parents[1] and raised IndexError
         exp_name = (
-            args.ckpt.parents[1].name if args.ckpt.is_file() else Path(args.ckpt).name
+            args.ckpt.resolve().parents[1].name
+            if args.ckpt.is_file()
+            else Path(args.ckpt).name
         )
         tag = args.tag or f"{exp_name}_{Path(args.ckpt).stem}"
         if len(tag) > 80:  # keep names filesystem-safe

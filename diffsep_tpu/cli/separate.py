@@ -30,6 +30,28 @@ from ..compilation_cache import enable as _enable_cache
 _enable_cache()
 
 
+def resolve_model_path(model) -> Path:
+    """Reference CLI contract (separate.py:36-44): a --model that is not a
+    local path is treated as a HuggingFace Hub repo id and checkpoint.pt is
+    downloaded. Falls back to an actionable error when the hub is
+    unreachable (this build environment has zero egress)."""
+    model = Path(model)
+    if model.exists():
+        return model
+    try:
+        from huggingface_hub import hf_hub_download
+
+        return Path(hf_hub_download(repo_id=str(model), filename="checkpoint.pt"))
+    except Exception as e:
+        raise FileNotFoundError(
+            f"Model '{model}' is not a local path and downloading it from "
+            f"the HuggingFace Hub failed ({type(e).__name__}: {e}). If this "
+            f"environment has no network access, download the checkpoint "
+            f"('{DEFAULT_MODEL}', file checkpoint.pt) elsewhere and pass "
+            "its path via --model."
+        ) from e
+
+
 def scale_output(mix, sep):
     """Project the mixture onto each separated signal (separate.py:73-78)."""
     num = (mix * sep).sum(axis=-1, keepdims=True)
@@ -73,14 +95,9 @@ def main(argv=None):
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
 
-    if not args.model.exists():
-        raise FileNotFoundError(
-            f"Model '{args.model}' not found. This environment has no network "
-            f"access; download the HF checkpoint ('{DEFAULT_MODEL}', file "
-            "checkpoint.pt) beforehand and pass its path via --model."
-        )
+    model_path = resolve_model_path(args.model)
 
-    model, params = load_model(args.model)
+    model, params = load_model(model_path)
     model_sr = int(model.config.model.fs)
 
     kw = {}

@@ -50,14 +50,22 @@ def lpcoeff(frame: np.ndarray, order: int):
     Returns (autocorr lags R[0..order], reflection coeffs, [1, -a_1..-a_p]).
     """
     n = len(frame)
-    R = np.array([np.dot(frame[: n - k], frame[k:]) for k in range(order + 1)])
+    # np.sum of the elementwise product (NOT np.dot): the LPC recursion is
+    # ill-conditioned when reflection coefficients approach +-1, and the
+    # different accumulation order of BLAS dot vs pairwise sum diverges by
+    # whole digits after ~8 recursion steps. Matching the published
+    # formulation keeps per-frame LLR bit-identical to the reference
+    # implementation (verified in tests/test_composite_golden.py).
+    R = np.array(
+        [np.sum(frame[: n - k] * frame[k:]) for k in range(order + 1)]
+    )
 
     a = np.zeros(order)
     E = R[0]
     rc = np.zeros(order)
     for i in range(order):
-        acc = R[i + 1] - np.dot(a[:i], R[i:0:-1])
-        k = acc / max(E, 1e-15)
+        acc = R[i + 1] - np.sum(a[:i] * R[i:0:-1])
+        k = acc / np.maximum(1e-15, E)
         rc[i] = k
         a[:i] = a[:i] - k * a[:i][::-1]
         a[i] = k

@@ -23,11 +23,17 @@ def sync(x):
 
 
 def timeit(name, fn, *args, iters=5):
-    out = fn(*args)
+    # reduce the output to ONE scalar on-device before the host sync:
+    # device_get of a full-size output measures the host tunnel, not the op
+    # (a 336 MB upsample output costs seconds to fetch and used to dwarf
+    # the op itself)
+    leaves = lambda out: jax.tree_util.tree_leaves(out)[0]
+    red = jax.jit(lambda *a: jnp.sum(leaves(fn(*a)).astype(jnp.float32)))
+    out = red(*args)
     sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(*args)
+        out = red(*args)
     sync(out)
     dt = (time.perf_counter() - t0) / iters * 1e3
     print(f"{name:45s} {dt:8.2f} ms", flush=True)
