@@ -30,13 +30,14 @@ def compute_metrics(ref, est, fs, pesq_mode="nb", stoi_extended=True, n_src=2):
     )
     est = est[:, perm[0], :]
 
+    from ..models.pesq_native import get_pesq
+
+    _pesq = get_pesq()
     p_esq, s_toi = [], []
     for src in range(n_src):
         try:
-            from pesq import pesq as _pesq
-
             p_esq.append(float(_pesq(fs, ref[0, src], est[0, src], pesq_mode)))
-        except ImportError:
+        except Exception:
             p_esq.append(float("nan"))
         s_toi.append(float(stoi(ref[0, src], est[0, src], fs, extended=stoi_extended)))
 

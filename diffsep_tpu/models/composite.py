@@ -6,9 +6,11 @@ Reimplemented with vectorized frame processing; frame length is 30 ms with
 75% overlap and the asymmetric Hann-like window the measure is defined
 with.
 
-The composite regressions need PESQ; when the optional `pesq` package is
-missing, `eval_composite` still returns the raw wss/llr/ssnr terms and
-leaves csig/cbak/covl as NaN rather than failing.
+The composite regressions need PESQ; the optional GPL `pesq` package is
+used when installed, else the native P.862-style implementation
+(pesq_native.py) — csig/cbak/covl are always finite now. If PESQ fails
+outright (e.g. silent signal), the raw wss/llr/ssnr terms are still
+returned with NaN composites rather than failing.
 """
 from __future__ import annotations
 
@@ -200,9 +202,9 @@ def eval_composite(
 
     if pesq_value is None:
         try:
-            from pesq import pesq as _pesq
+            from .pesq_native import get_pesq
 
-            pesq_value = float(_pesq(fs, ref, deg, "wb"))
+            pesq_value = float(get_pesq()(fs, ref, deg, "wb"))
         except ImportError:
             pesq_value = float("nan")
 

@@ -126,9 +126,10 @@ class SISDRLoss:
 
 
 class PESQ:
-    """ITU-T PESQ metric via the optional `pesq` package
-    (models/losses.py:40-56). Computed host-side on up to `max_items`
-    batch entries, matching the reference's 4-item average."""
+    """ITU-T PESQ metric (reference models/losses.py:40-56): the optional
+    GPL `pesq` package when installed, else the native P.862-style
+    implementation (models/pesq_native.py). Computed host-side on up to
+    `max_items` batch entries, matching the reference's 4-item average."""
 
     def __init__(self, mode: str = "wb", fs: int = 16000, max_items: int = 4):
         self.mode = mode
@@ -136,13 +137,9 @@ class PESQ:
         self.max_items = max_items
 
     def __call__(self, est, ref) -> float:
-        try:
-            from pesq import pesq as _pesq
-        except ImportError as e:  # pragma: no cover
-            raise ImportError(
-                "PESQ requires the 'pesq' package (pip install pesq); it is "
-                "not bundled because it is GPL-licensed native code."
-            ) from e
+        from .pesq_native import get_pesq
+
+        _pesq = get_pesq()
         est = np.asarray(est)
         ref = np.asarray(ref)
         n = min(self.max_items, est.shape[0])

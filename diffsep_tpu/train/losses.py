@@ -34,7 +34,7 @@ needed.
 from __future__ import annotations
 
 import itertools
-from typing import Callable, Tuple
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -443,10 +443,15 @@ def training_loss(
     train_source_order: str = "random",
     mmnr_thresh_pit: float = -10.0,
     time_strategy: str = "uniform",
+    sample_weight: Optional[Array] = None,
 ) -> Array:
     """Top-level dispatch matching training_step (pl_model.py:495-532).
 
-    Returns the scalar batch loss."""
+    Returns the scalar batch loss. `sample_weight` (shape [batch]) makes
+    the reduction a weighted mean — used to pad batches to an XLA-friendly
+    multiple of 8 with zero-weight filler samples (a batch of 6 compiles
+    to ~4x slower programs on TPU than a batch of 8, see
+    scripts/perf_train.py) without changing the loss semantics."""
     if init_hack == 7:
         per = train_step_init_7(key, sde, score_fn, mix, target, t_eps,
                                 init_hack_p, time_strategy, mmnr_thresh_pit)
@@ -471,4 +476,7 @@ def training_loss(
             key, sde, score_fn, mix, target, t_eps, init_hack, t_rev_init,
             time_strategy,
         )
-    return per.mean()
+    if sample_weight is None:
+        return per.mean()
+    w = sample_weight.astype(per.dtype)
+    return (per * w).sum() / jnp.maximum(w.sum(), 1e-12)

@@ -150,7 +150,7 @@ def make_train_step(
     sched = make_lr_schedule(optim_cfg)
     every_k = optim_cfg.accumulate_grad_batches
 
-    def loss_fn(params, key, mix, target):
+    def loss_fn(params, key, mix, target, sample_weight):
         (mix, target), _, _ = normalize_batch(mix, target)
         score_fn = lambda x, t, m: score_apply(params, x, t, m)
         return training_loss(
@@ -166,12 +166,15 @@ def make_train_step(
             train_source_order=loss_cfg.train_source_order,
             mmnr_thresh_pit=loss_cfg.mmnr_thresh_pit,
             time_strategy=loss_cfg.time_sampling_strategy,
+            sample_weight=sample_weight,
         )
 
-    def train_step(state: TrainState, mix: Array, target: Array):
+    def train_step(
+        state: TrainState, mix: Array, target: Array, sample_weight=None
+    ):
         key = jax.random.fold_in(base_key, state.step)
         loss, grads = jax.value_and_grad(loss_fn)(
-            state.params, key, mix, target
+            state.params, key, mix, target, sample_weight
         )
 
         if clipper is not None:

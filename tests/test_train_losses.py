@@ -204,3 +204,52 @@ def test_training_loss_jits(batch):
         )
     )
     assert np.isfinite(float(f(jax.random.PRNGKey(7))))
+
+
+def test_sample_weight_all_ones_equals_unweighted(batch):
+    mix, target = batch
+    sde = MixSDE(ndim=2)
+    kw = dict(t_eps=0.03, init_hack=5, init_hack_p=0.5)
+    a = TL.training_loss(jax.random.PRNGKey(7), sde, fake_score, mix, target, **kw)
+    b = TL.training_loss(
+        jax.random.PRNGKey(7), sde, fake_score, mix, target,
+        sample_weight=jnp.ones(mix.shape[0]), **kw,
+    )
+    np.testing.assert_allclose(float(a), float(b), rtol=1e-6)
+
+
+def test_zero_weighted_filler_content_is_irrelevant(batch):
+    """Batch padding contract (train/loop.py:pad_batch_for_tpu): the
+    CONTENT of zero-weighted samples must not change the loss."""
+    mix, target = batch
+    sde = MixSDE(ndim=2)
+    kw = dict(t_eps=0.03, init_hack=5, init_hack_p=0.5)
+    w = jnp.array([1.0] * (mix.shape[0] - 1) + [0.0])
+    a = TL.training_loss(
+        jax.random.PRNGKey(8), sde, fake_score, mix, target,
+        sample_weight=w, **kw,
+    )
+    mix2 = mix.at[-1].set(mix[0] * 3.0 + 0.1)
+    tgt2 = target.at[-1].set(target[0] * -2.0)
+    b = TL.training_loss(
+        jax.random.PRNGKey(8), sde, fake_score, mix2, tgt2,
+        sample_weight=w, **kw,
+    )
+    np.testing.assert_allclose(float(a), float(b), rtol=1e-6)
+
+
+def test_pad_batch_for_tpu():
+    from diffsep_tpu.train.loop import pad_batch_for_tpu
+
+    rng = np.random.default_rng(0)
+    mix = rng.standard_normal((6, 1, 64)).astype(np.float32)
+    tgt = rng.standard_normal((6, 2, 64)).astype(np.float32)
+    m, t, w = pad_batch_for_tpu(mix, tgt, multiple=8)
+    assert m.shape[0] == t.shape[0] == len(w) == 8
+    np.testing.assert_array_equal(m[:6], mix)
+    np.testing.assert_array_equal(m[6], mix[0])
+    np.testing.assert_array_equal(m[7], mix[1])
+    np.testing.assert_array_equal(w, [1, 1, 1, 1, 1, 1, 0, 0])
+    # already-aligned batches pass through untouched
+    m2, t2, w2 = pad_batch_for_tpu(mix[:4], tgt[:4], multiple=4)
+    assert m2.shape[0] == 4 and (w2 == 1).all()
