@@ -145,6 +145,12 @@ def main():
         # thrice-measured baseline on this chip (2.10/2.11/2.14 utt/s)
         log(f"reference-style benchmark failed ({e}); using recorded 2.14")
         ref = 2.14
+    # analytic A100 grounding (BASELINE.md "Analytic A100 bound"):
+    # 40 TFLOP/utt at the N=30 operating point; torch reference runs
+    # batch-1 fp32 host-stepped. SOL-ish: TF32 @45% util = 1.75 utt/s;
+    # realistic eager batch-1: 0.6-1.0 utt/s (midpoint 0.8).
+    a100_sol = 1.75
+    a100_real = 0.8
     print(
         json.dumps(
             {
@@ -152,6 +158,8 @@ def main():
                 "value": round(fused, 4),
                 "unit": "utt/sec/chip (5s@8kHz, nf=128, 60 NN evals/utt)",
                 "vs_baseline": round(fused / ref, 3),
+                "vs_a100_sol_est": round(fused / a100_sol, 2),
+                "vs_a100_realistic_est": round(fused / a100_real, 2),
             }
         )
     )

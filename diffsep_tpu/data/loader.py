@@ -54,7 +54,11 @@ class DataLoader:
             chunk = idx[s : s + self.batch_size]
             if self.drop_last and len(chunk) < self.batch_size:
                 return
-            rows = [self.dataset[int(i)] for i in chunk]
+            if hasattr(self.dataset, "getitem_batch"):
+                # native thread-pooled batch decode (data/native_io.py)
+                rows = self.dataset.getitem_batch([int(i) for i in chunk])
+            else:
+                rows = [self.dataset[int(i)] for i in chunk]
             if self.pad_to_multiple:
                 yield self.collate_fn(rows, pad_to_multiple=self.pad_to_multiple)
             else:

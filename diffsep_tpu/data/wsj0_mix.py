@@ -81,11 +81,39 @@ class WSJ0_mix:
         tgt = np.concatenate(
             [load_wav(p / filename)[0] for p in self.path_src], axis=0
         )
+        return self._crop(mix, tgt)
+
+    def _crop(self, mix, tgt):
         if self.max_len is not None and tgt.shape[-1] > self.max_len:
             p = int(self.rng.integers(0, tgt.shape[-1] - self.max_len))
             tgt = tgt[..., p : p + self.max_len]
             mix = mix[..., p : p + self.max_len]
         return mix, tgt
+
+    def getitem_batch(self, indices):
+        """Decode a whole batch with the thread-pooled C decoder
+        (data/native_io.py wav_read_batch) — one call for all mix+source
+        files of the batch instead of len(batch)*(1+n_spkr) sequential
+        `load_wav`s. Falls back to per-item decoding when the native
+        library is unavailable. Used by data.loader.DataLoader."""
+        try:
+            from . import native_io
+
+            names = [self.file_list[int(i)] for i in indices]
+            per_item = 1 + len(self.path_src)
+            paths = []
+            for f in names:
+                paths.append(self.path_mix / f)
+                paths.extend(p / f for p in self.path_src)
+            bufs = native_io.load_wav_batch(paths)
+        except Exception:
+            return [self[int(i)] for i in indices]
+        rows = []
+        for k in range(len(names)):
+            mix = bufs[k * per_item]
+            tgt = np.concatenate(bufs[k * per_item + 1 : (k + 1) * per_item], axis=0)
+            rows.append(self._crop(mix, tgt))
+        return rows
 
 
 def max_collator(batch, pad_to_multiple: Optional[int] = None):

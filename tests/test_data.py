@@ -104,3 +104,32 @@ def test_noisy_dataset(tmp_path, rng):
     tr, va = split_train_val(ds, val_frac=0.2, seed=0)
     assert len(tr) == 4 and len(va) == 1
     _ = tr[0]
+
+
+def test_getitem_batch_matches_per_item(wsj0_tree):
+    """Native thread-pooled batch decode (loader batch path) returns the
+    same rows as per-item __getitem__ (no crop so rng is irrelevant)."""
+    ds = WSJ0_mix(wsj0_tree, n_spkr=2, fs=8000, cut="max", split="train")
+    rows_b = ds.getitem_batch([0, 2, 1])
+    for got, idx in zip(rows_b, [0, 2, 1]):
+        mix, tgt = ds[idx]
+        np.testing.assert_allclose(got[0], mix, atol=1e-6)
+        np.testing.assert_allclose(got[1], tgt, atol=1e-6)
+
+
+def test_dataloader_uses_batch_decode(wsj0_tree, monkeypatch):
+    ds = WSJ0_mix(wsj0_tree, n_spkr=2, fs=8000, cut="max", split="train")
+    calls = []
+    orig = ds.getitem_batch
+
+    def spy(indices):
+        calls.append(list(indices))
+        return orig(indices)
+
+    monkeypatch.setattr(ds, "getitem_batch", spy)
+    from diffsep_tpu.data.loader import DataLoader
+
+    dl = DataLoader(ds, batch_size=2, shuffle=False, prefetch=0)
+    batches = list(dl)
+    assert calls and sum(len(c) for c in calls) == len(ds)
+    assert batches[0][0].shape[0] == 2
