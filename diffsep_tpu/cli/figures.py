@@ -237,6 +237,8 @@ def exp_inference(argv=None):
     args.out.mkdir(parents=True, exist_ok=True)
     fig.tight_layout()
     fig.savefig(args.out / f"exp_inference_{args.key}.pdf")
+    # returned for tests: the exact series that were plotted
+    return {"pesq": sorted(pesq), "si_sdr": sorted(sisdr)}
 
 
 def main(argv=None):
