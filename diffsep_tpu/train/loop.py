@@ -16,6 +16,7 @@ reference relies on (SURVEY.md §2.6, §5):
 """
 from __future__ import annotations
 
+import logging
 import time
 from pathlib import Path
 from typing import Optional
@@ -35,6 +36,8 @@ try:
     from tensorboardX import SummaryWriter
 except ImportError:  # pragma: no cover
     SummaryWriter = None
+
+log_validate = logging.getLogger(__name__)
 
 
 def pad_batch_for_tpu(mix, target, multiple: int = 8):
@@ -243,8 +246,10 @@ def validate(model, datamodule, state, val_loss_fn, key, mesh):
             for name, loss in model.val_losses.items():
                 try:
                     sep_metrics[name].append(float(loss(est, target)))
-                except ImportError:
-                    pass  # optional metric backend missing (e.g. pesq)
+                except Exception as e:
+                    # a metric must never kill training: e.g. PESQ raises
+                    # on <250 ms or silent validation clips
+                    log_validate.warning("val metric %s failed: %s", name, e)
     out = {"val/score_loss": float(np.mean(losses))}
     for name, vals in sep_metrics.items():
         if vals:
