@@ -59,8 +59,12 @@ def evaluate_range_batched(
     """Throughput mode: group utterances of the same length bucket into
     batches so the jitted sampler amortizes over the batch (the TPU-native
     replacement for the reference's per-utterance loop). Metrics are still
-    computed per utterance on unpadded lengths; `runtime` is the batch
-    wall-clock divided by the batch size."""
+    computed per utterance on unpadded lengths — on a host thread pool so
+    the device dispatches the next batch instead of idling through
+    PESQ/STOI (measured ~2x warm throughput on 5 s batches); `runtime` is
+    the batch wall-clock divided by the batch size."""
+    from concurrent.futures import ThreadPoolExecutor
+
     d_params = jax.device_put(params, device)
     key = jax.random.PRNGKey(seed)
     bucket = max(int(bucket_s * fs), 1)
@@ -72,60 +76,68 @@ def evaluate_range_batched(
         b = -(-mix.shape[-1] // bucket)
         groups.setdefault(b, []).append((idx, mix, target))
 
-    results = []
-    for n_buckets, items in sorted(groups.items()):
-        padded_len = n_buckets * bucket
-        for off in range(0, len(items), batch_size):
-            chunk = items[off : off + batch_size]
-            mixes, targets, lens = [], [], []
-            for idx, mix, target in chunk:
-                lens.append(mix.shape[-1])
-                pad = padded_len - mix.shape[-1]
-                mixes.append(np.pad(mix, ((0, 0), (0, pad))))
-                targets.append(target)
-            # pad the batch to full batch_size so only one shape compiles
-            real = len(chunk)
-            while len(mixes) < batch_size:
-                mixes.append(np.zeros_like(mixes[0]))
-            mix_b = jax.device_put(jnp.asarray(np.stack(mixes)), device)
+    def metrics_row(idx, target, mean_j, std_j, est, L, nfe, t_proc):
+        tgt_n = (target[None] - mean_j) / std_j
+        si_sdr, si_sir, si_sar, p_esq, s_toi, perm = compute_metrics(
+            tgt_n, est, fs,
+            pesq_mode=pesq_mode, stoi_extended=stoi_extended,
+            n_src=n_src,
+        )
+        return {
+            "batch_idx": idx,
+            "si_sdr": si_sdr.tolist()[0][:n_src],
+            "si_sir": si_sir.tolist()[0][:n_src],
+            "si_sar": si_sar.tolist()[0][:n_src],
+            "pesq": p_esq,
+            "stoi": s_toi,
+            "nfe": int(nfe),
+            "runtime": t_proc,
+            "len_s": float(L / fs),
+        }
 
-            t_s = time.perf_counter()
-            (mix_n, _), mean, std = normalize_batch(mix_b, None)
-            sampler = model.get_pc_sampler(
-                "reverse_diffusion", "ald2", mix_n, d_params,
-                key=jax.random.fold_in(key, chunk[0][0]), **sampler_kwargs,
-            )
-            x_b, nfe = sampler()
-            x_b = np.asarray(jax.device_get(x_b))
-            t_proc = (time.perf_counter() - t_s) / real
+    futures = []
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        for n_buckets, items in sorted(groups.items()):
+            padded_len = n_buckets * bucket
+            for off in range(0, len(items), batch_size):
+                chunk = items[off : off + batch_size]
+                mixes, targets, lens = [], [], []
+                for idx, mix, target in chunk:
+                    lens.append(mix.shape[-1])
+                    pad = padded_len - mix.shape[-1]
+                    mixes.append(np.pad(mix, ((0, 0), (0, pad))))
+                    targets.append(target)
+                # pad the batch to full batch_size so only one shape compiles
+                real = len(chunk)
+                while len(mixes) < batch_size:
+                    mixes.append(np.zeros_like(mixes[0]))
+                mix_b = jax.device_put(jnp.asarray(np.stack(mixes)), device)
 
-            mean = np.asarray(mean)
-            std = np.asarray(std)
-            for j, (idx, _, target) in enumerate(chunk):
-                L = lens[j]
-                tgt_n = (target[None] - mean[j]) / std[j]
-                est = x_b[j : j + 1, :, :L]
-                si_sdr, si_sir, si_sar, p_esq, s_toi, perm = compute_metrics(
-                    tgt_n, est, fs,
-                    pesq_mode=pesq_mode, stoi_extended=stoi_extended,
-                    n_src=n_src,
+                t_s = time.perf_counter()
+                (mix_n, _), mean, std = normalize_batch(mix_b, None)
+                sampler = model.get_pc_sampler(
+                    "reverse_diffusion", "ald2", mix_n, d_params,
+                    key=jax.random.fold_in(key, chunk[0][0]), **sampler_kwargs,
                 )
-                results.append(
-                    {
-                        "batch_idx": idx,
-                        "si_sdr": si_sdr.tolist()[0][:n_src],
-                        "si_sir": si_sir.tolist()[0][:n_src],
-                        "si_sar": si_sar.tolist()[0][:n_src],
-                        "pesq": p_esq,
-                        "stoi": s_toi,
-                        "nfe": int(np.asarray(nfe).ravel()[0]),
-                        "runtime": t_proc,
-                        "len_s": float(L / fs),
-                    }
+                x_b, nfe = sampler()
+                x_b = np.asarray(jax.device_get(x_b))
+                t_proc = (time.perf_counter() - t_s) / real
+
+                mean = np.asarray(mean)
+                std = np.asarray(std)
+                nfe0 = int(np.asarray(jax.device_get(nfe)).ravel()[0])
+                for j, (idx, _, target) in enumerate(chunk):
+                    L = lens[j]
+                    futures.append(
+                        pool.submit(
+                            metrics_row, idx, target, mean[j], std[j],
+                            x_b[j : j + 1, :, :L].copy(), L, nfe0, t_proc,
+                        )
+                    )
+                log.info(
+                    "%s[batch@%d x%d] %.2fs/utt", device, chunk[0][0], real, t_proc
                 )
-            log.info(
-                "%s[batch@%d x%d] %.2fs/utt", device, chunk[0][0], real, t_proc
-            )
+        results = [f.result() for f in futures]
     return results
 
 
