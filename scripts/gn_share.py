@@ -10,8 +10,13 @@ ways:
              elementwise apply pass
 
 The normal-vs-cheapgn delta is the budget for a Pallas stats kernel; if
-it is small, the kernel is not worth building (ROADMAP round-2 method:
-measure before writing kernels).
+it is small, the kernel is not worth building (round-2 method: measure
+before writing kernels).
+
+NOTE on timing: on the axon remote-TPU platform `jax.block_until_ready`
+returns before execution completes; every jitted function here returns a
+SCALAR and timing forces `jax.device_get` per iteration (same rule as
+bench.py).
 """
 import sys
 import time
@@ -27,7 +32,38 @@ from diffsep_tpu.compilation_cache import enable as _enable_cache
 
 _enable_cache()
 
+import flax.linen as nn
+
 import diffsep_tpu.models.layers as L
+
+_OrigGroupNorm = L.GroupNorm
+
+
+class _CheapGN(_OrigGroupNorm):
+    """x*scale+bias — no statistics (upper bound for stats-fusion wins)."""
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        return (x * scale.astype(x.dtype) + bias.astype(x.dtype)).astype(x.dtype)
+
+
+class _IdentGN(_OrigGroupNorm):
+    """Identity (total GN cost incl. the apply pass)."""
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        self.param("scale", nn.initializers.ones, (c,))
+        self.param("bias", nn.initializers.zeros, (c,))
+        return x
+
+
+# converted-checkpoint param paths use the auto-name "GroupNorm_<k>"
+_CheapGN.__name__ = "GroupNorm"
+_IdentGN.__name__ = "GroupNorm"
 
 
 def build(batch):
@@ -51,53 +87,43 @@ def build(batch):
     return model, params, xt, t, mix
 
 
-def timeit(fn, args, iters=20):
-    out = fn(*args)
-    jax.block_until_ready(out)
+def timeit(fn, args, iters=10):
+    s = fn(*args)
+    np.asarray(jax.device_get(s))  # compile + first run
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        np.asarray(jax.device_get(fn(*args)))
     return (time.perf_counter() - t0) / iters * 1e3
+
+
+def run_variant(label, model, params, xt, t, mix):
+    fwd = jax.jit(
+        lambda p, x, tt, m: jnp.sum(model.score_apply(p, x, tt, m).astype(jnp.float32))
+    )
+    ms = timeit(fwd, (params, xt, t, mix))
+    print(f"{label:8s}: {ms:8.2f} ms", flush=True)
+    return ms
 
 
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     model, params, xt, t, mix = build(batch)
 
-    fwd = jax.jit(lambda p, x, tt, m: model.score_apply(p, x, tt, m))
-    ms_normal = timeit(fwd, (params, xt, t, mix))
-    print(f"normal : {ms_normal:8.2f} ms  (batch {batch})", flush=True)
+    ms_normal = run_variant("normal", model, params, xt, t, mix)
 
-    orig = L.GroupNorm.__call__
-
-    def cheap(self, x):
-        c = x.shape[-1]
-        scale = self.param("scale", jax.nn.initializers.ones, (c,))
-        bias = self.param("bias", jax.nn.initializers.zeros, (c,))
-        return (x * scale.astype(x.dtype) + bias.astype(x.dtype)).astype(x.dtype)
-
-    L.GroupNorm.__call__ = cheap
+    L.GroupNorm = _CheapGN
     try:
-        fwd2 = jax.jit(lambda p, x, tt, m: model.score_apply(p, x, tt, m))
-        ms_cheap = timeit(fwd2, (params, xt, t, mix))
+        ms_cheap = run_variant("cheapgn", model, params, xt, t, mix)
     finally:
-        L.GroupNorm.__call__ = orig
-    print(f"cheapgn: {ms_cheap:8.2f} ms  (stats budget {ms_normal - ms_cheap:.2f} ms)", flush=True)
+        L.GroupNorm = _OrigGroupNorm
+    print(f"  stats budget: {ms_normal - ms_cheap:.2f} ms", flush=True)
 
-    def ident(self, x):
-        c = x.shape[-1]
-        self.param("scale", jax.nn.initializers.ones, (c,))
-        self.param("bias", jax.nn.initializers.zeros, (c,))
-        return x
-
-    L.GroupNorm.__call__ = ident
+    L.GroupNorm = _IdentGN
     try:
-        fwd3 = jax.jit(lambda p, x, tt, m: model.score_apply(p, x, tt, m))
-        ms_no = timeit(fwd3, (params, xt, t, mix))
+        ms_no = run_variant("nogn", model, params, xt, t, mix)
     finally:
-        L.GroupNorm.__call__ = orig
-    print(f"nogn   : {ms_no:8.2f} ms  (total GN cost {ms_normal - ms_no:.2f} ms)", flush=True)
+        L.GroupNorm = _OrigGroupNorm
+    print(f"  total GN cost: {ms_normal - ms_no:.2f} ms", flush=True)
 
 
 if __name__ == "__main__":
