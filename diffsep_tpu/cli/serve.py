@@ -1,0 +1,211 @@
+"""Long-running separation service (TPU-native serving path).
+
+No reference equivalent (the reference only ships batch CLIs); this is the
+deployment-shaped entry point: load the model ONCE, keep parameters on
+device, pre-compile the sampler for the expected length buckets, then
+serve requests forever. Two front-ends share the engine:
+
+  * stdin mode (default): read wav paths (one per line), write separated
+    sources to `--output-dir/s{i}/{stem}.wav`, print `DONE <path>` (or
+    `ERROR <path> <reason>`) per request — a line protocol that is trivial
+    to drive from any supervisor or socket wrapper.
+  * `--watch`: poll the input directory for new wav files and process
+    them as they appear (drop-folder deployment).
+
+Serving properties:
+  * one compiled program per (bucket length, batch size) — requests are
+    grouped by 1 s length bucket and micro-batched up to `--batch`
+    (padding the tail), so steady-state serving never compiles;
+  * `--warmup-s` compiles the common buckets at startup so the first
+    request hits a warm cache;
+  * the persistent compilation cache (~/.cache/diffsep_jax) makes warmup
+    itself fast after the first ever start.
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.audio_io import load_wav, save_wav
+from ..train.losses import denormalize_batch, normalize_batch
+from .loading import load_model
+from .separate import resolve_model_path, scale_output
+
+log = logging.getLogger(__name__)
+
+from ..compilation_cache import enable as _enable_cache
+
+_enable_cache()
+
+
+class SeparationEngine:
+    """Compile-once micro-batching separation engine."""
+
+    def __init__(self, model, params, batch: int = 4, bucket_s: float = 1.0,
+                 seed: int = 0, sampler_kwargs=None,
+                 predictor: str = "reverse_diffusion", corrector: str = "ald2"):
+        self.model = model
+        self.params = params
+        self.batch = batch
+        self.fs = int(model.config.model.fs)
+        self.bucket = max(int(bucket_s * self.fs), 1)
+        self.key = jax.random.PRNGKey(seed)
+        self.n_req = 0
+        self.predictor = predictor
+        self.corrector = corrector
+        self.sampler_kwargs = dict(sampler_kwargs or {})
+
+    def warmup(self, seconds) -> None:
+        """Pre-compile the sampler for the given utterance lengths."""
+        for s in seconds:
+            n = int(s * self.fs)
+            mixes = [np.zeros((1, n), np.float32) + 1e-3]
+            self._run_bucket(mixes)
+            log.info("warmup: compiled %.1f s bucket", s)
+
+    def _run_bucket(self, mixes):
+        """Separate a list of single-channel (1, n) signals sharing one
+        length bucket. Returns a list of (n_src, n) arrays."""
+        lens = [m.shape[-1] for m in mixes]
+        padded = -(-max(lens) // self.bucket) * self.bucket
+        real = len(mixes)
+        rows = [np.pad(m, ((0, 0), (0, padded - m.shape[-1]))) for m in mixes]
+        while len(rows) < self.batch:
+            rows.append(np.zeros_like(rows[0]))
+        mix_b = jnp.asarray(np.stack(rows))  # (batch, 1, padded)
+        (mix_n, _), mean, std = normalize_batch(mix_b, None)
+        self.n_req += 1
+        sampler = self.model.get_pc_sampler(
+            self.predictor,
+            self.corrector,
+            mix_n,
+            self.params,
+            key=jax.random.fold_in(self.key, self.n_req),
+            **self.sampler_kwargs,
+        )
+        est, _ = sampler()
+        est = denormalize_batch(est, mean, std)
+        est = np.asarray(jax.device_get(est))
+        out = []
+        for j in range(real):
+            e = est[j : j + 1, :, : lens[j]]
+            e = scale_output(np.asarray(mixes[j])[None], e)
+            out.append(e[0])
+        return out
+
+    def process(self, paths, output_dir: Path):
+        """Separate `paths`, grouped by length bucket, micro-batched.
+        Yields (path, ok, message)."""
+        items = []
+        for p in paths:
+            p = Path(p)
+            try:
+                wav, sr = load_wav(p)
+                if sr != self.fs:
+                    yield p, False, f"sample rate {sr} != model {self.fs}"
+                    continue
+                items.append((p, np.asarray(wav, np.float32)))
+            except Exception as e:  # unreadable file must not kill serving
+                yield p, False, f"{type(e).__name__}: {e}"
+
+        groups = {}
+        for p, wav in items:
+            b = -(-wav.shape[-1] // self.bucket)
+            groups.setdefault(b, []).append((p, wav))
+
+        for _, group in sorted(groups.items()):
+            for off in range(0, len(group), self.batch):
+                chunk = group[off : off + self.batch]
+                t0 = time.perf_counter()
+                try:
+                    ests = self._run_bucket([w for _, w in chunk])
+                except Exception as e:
+                    for p, _ in chunk:
+                        yield p, False, f"{type(e).__name__}: {e}"
+                    continue
+                dt = time.perf_counter() - t0
+                for (p, _), est in zip(chunk, ests):
+                    for src in range(est.shape[0]):
+                        out = output_dir / f"s{src}" / f"{p.stem}.wav"
+                        save_wav(out, est[src : src + 1], self.fs)
+                    yield p, True, f"{dt / len(chunk):.3f}s"
+
+
+def _engine_from_args(args):
+    model, params = load_model(resolve_model_path(args.model))
+    kw = {}
+    if args.N is not None:
+        kw["N"] = args.N
+    if args.snr is not None:
+        kw["snr"] = args.snr
+    if args.corrector_steps is not None:
+        kw["corrector_steps"] = args.corrector_steps
+    return SeparationEngine(
+        model, params, batch=args.batch, bucket_s=args.bucket_s,
+        seed=args.seed, sampler_kwargs=kw,
+        predictor=args.predictor, corrector=args.corrector,
+    )
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Long-running separation service: stdin line protocol "
+        "or --watch drop-folder mode"
+    )
+    parser.add_argument("output_dir", type=Path)
+    parser.add_argument("--model", type=Path, default=Path("fakufaku/diffsep"))
+    parser.add_argument("--watch", type=Path, default=None,
+                        help="Poll this directory for new wav files")
+    parser.add_argument("--poll-s", type=float, default=1.0)
+    parser.add_argument("--batch", type=int, default=4,
+                        help="Micro-batch size (requests per program run)")
+    parser.add_argument("--bucket-s", type=float, default=1.0,
+                        help="Length-bucket granularity in seconds")
+    parser.add_argument("--warmup-s", type=float, nargs="*", default=[],
+                        help="Pre-compile these utterance lengths (seconds)")
+    parser.add_argument("-N", type=int, default=None)
+    parser.add_argument("--snr", type=float, default=None)
+    parser.add_argument("--corrector-steps", type=int, default=None)
+    parser.add_argument("--predictor", type=str, default="reverse_diffusion")
+    parser.add_argument("--corrector", type=str, default="ald2")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--once", action="store_true",
+                        help="watch mode: process what is there, then exit "
+                        "(for tests/cron)")
+    args = parser.parse_args(argv)
+
+    engine = _engine_from_args(args)
+    args.output_dir.mkdir(parents=True, exist_ok=True)
+    if args.warmup_s:
+        engine.warmup(args.warmup_s)
+
+    if args.watch is not None:
+        seen = set()
+        while True:
+            new = [p for p in sorted(args.watch.glob("*.wav")) if p not in seen]
+            for p, ok, msg in engine.process(new, args.output_dir):
+                seen.add(p)
+                print(("DONE" if ok else "ERROR"), p, msg, flush=True)
+            if args.once:
+                return
+            time.sleep(args.poll_s)
+
+    # stdin line protocol
+    for line in sys.stdin:
+        path = line.strip()
+        if not path:
+            continue
+        for p, ok, msg in engine.process([path], args.output_dir):
+            print(("DONE" if ok else "ERROR"), p, msg, flush=True)
+
+
+if __name__ == "__main__":
+    logging.basicConfig(level=logging.INFO)
+    main()

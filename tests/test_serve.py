@@ -1,0 +1,112 @@
+"""Serving entry point: compile-once micro-batching engine + CLI modes."""
+import numpy as np
+import pytest
+
+from diffsep_tpu.data.audio_io import load_wav, save_wav
+
+
+@pytest.fixture(scope="module")
+def tiny_run(tmp_path_factory):
+    """Train a 2-step tiny model via the CLI (same recipe as test_e2e)."""
+    from diffsep_tpu.cli.train import main
+
+    rng = np.random.default_rng(0)
+    root = tmp_path_factory.mktemp("wsj0s")
+    for split in ["tr", "cv", "tt"]:
+        base = root / f"2speakers/wav8k/max/{split}"
+        for d in ["mix", "s1", "s2"]:
+            (base / d).mkdir(parents=True)
+        for i in range(2):
+            L = 4800
+            s1 = rng.standard_normal((1, L)).astype(np.float32) * 0.1
+            s2 = rng.standard_normal((1, L)).astype(np.float32) * 0.1
+            save_wav(base / f"s1/f{i}.wav", s1, 8000)
+            save_wav(base / f"s2/f{i}.wav", s2, 8000)
+            save_wav(base / f"mix/f{i}.wav", s1 + s2, 8000)
+    exp_root = tmp_path_factory.mktemp("exps")
+    main(
+        [
+            f"path.datasets.wsj0_mix={root}",
+            f"path.exp_root={exp_root}",
+            "model.score_model.backbone_args.nf=8",
+            "model.score_model.backbone_args.ch_mult=[1,2]",
+            "model.score_model.backbone_args.num_res_blocks=1",
+            "model.score_model.backbone_args.attn_resolutions=[16]",
+            "model.score_model.backbone_args.image_size=64",
+            "model.score_model.stft_args.n_fft=126",
+            "model.score_model.stft_args.hop_length=32",
+            "model.sampler.N=2",
+            "model.valid_max_sep_batches=1",
+            "trainer.max_epochs=1",
+            "trainer.max_steps=1",
+            "trainer.accumulate_grad_batches=1",
+            "trainer.devices=1",
+            "trainer.check_val_every_n_epoch=1",
+            "datamodule.train.dl_opts.batch_size=2",
+            "datamodule.train.dataset.max_len_s=0.5",
+            "datamodule.val.dl_opts.batch_size=2",
+            "datamodule.test.dl_opts.batch_size=2",
+        ]
+    )
+    runs = sorted((exp_root / "default").iterdir())
+    return root, runs[-1]
+
+
+def test_engine_micro_batches_and_buckets(tiny_run, tmp_path):
+    from diffsep_tpu.cli.loading import load_model
+    from diffsep_tpu.cli.serve import SeparationEngine
+
+    root, run_dir = tiny_run
+    model, params = load_model(run_dir)
+    eng = SeparationEngine(model, params, batch=2, bucket_s=0.3,
+                           sampler_kwargs={"N": 2})
+
+    rng = np.random.default_rng(1)
+    paths = []
+    for i, L in enumerate([2000, 2100, 4000]):  # two buckets
+        p = tmp_path / f"in{i}.wav"
+        save_wav(p, rng.standard_normal((1, L)).astype(np.float32) * 0.1, 8000)
+        paths.append(p)
+    out = tmp_path / "out"
+    results = list(eng.process(paths, out))
+    assert len(results) == 3 and all(ok for _, ok, _ in results)
+    for p, L in zip(paths, [2000, 2100, 4000]):
+        for s in ["s0", "s1"]:
+            wav, sr = load_wav(out / s / f"{p.stem}.wav")
+            assert sr == 8000 and wav.shape == (1, L)  # unpadded lengths
+
+
+def test_engine_skips_bad_inputs(tiny_run, tmp_path):
+    from diffsep_tpu.cli.loading import load_model
+    from diffsep_tpu.cli.serve import SeparationEngine
+
+    root, run_dir = tiny_run
+    model, params = load_model(run_dir)
+    eng = SeparationEngine(model, params, batch=1, sampler_kwargs={"N": 2})
+
+    bad_sr = tmp_path / "bad_sr.wav"
+    save_wav(bad_sr, np.zeros((1, 1000), np.float32), 16000)
+    missing = tmp_path / "missing.wav"
+    results = list(eng.process([bad_sr, missing], tmp_path / "o"))
+    assert [ok for _, ok, _ in results] == [False, False]
+    assert "sample rate" in results[0][2]
+
+
+def test_watch_once_mode(tiny_run, tmp_path):
+    from diffsep_tpu.cli.serve import main
+
+    root, run_dir = tiny_run
+    watch = tmp_path / "inbox"
+    watch.mkdir()
+    rng = np.random.default_rng(2)
+    save_wav(watch / "a.wav",
+             rng.standard_normal((1, 1600)).astype(np.float32) * 0.1, 8000)
+    out = tmp_path / "served"
+    main(
+        [
+            str(out), "--model", str(run_dir), "--watch", str(watch),
+            "--once", "--batch", "1", "-N", "2",
+        ]
+    )
+    assert (out / "s0" / "a.wav").exists()
+    assert (out / "s1" / "a.wav").exists()
