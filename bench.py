@@ -134,17 +134,46 @@ def bench_reference_style(model, params, mix):
 
 
 def main():
+    if os.environ.get("_BENCH_REF_CHILD") == "1":
+        # child mode: measure ONLY the reference-style baseline and print it
+        model, params, mix = build()
+        print(f"REF_RESULT {bench_reference_style(model, params, mix):.6f}")
+        return
+
+    # The reference-style phase needs several fresh batch-1 compiles; on a
+    # slow/loaded host that can exceed any reasonable budget (compiles are
+    # not interruptible in-process), so it runs FIRST, in a timeout-guarded
+    # subprocess (before this process touches the TPU, so the chip is never
+    # claimed twice). Fallback: the thrice-measured baseline on this chip
+    # (2.10/2.11/2.14 utt/s).
+    ref = None
+    try:
+        import subprocess
+
+        env = dict(os.environ, _BENCH_REF_CHILD="1")
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=sys.stderr,
+            text=True,
+            timeout=int(os.environ.get("BENCH_REF_TIMEOUT", "1200")),
+        )
+        for line in proc.stdout.splitlines():
+            if line.startswith("REF_RESULT "):
+                ref = float(line.split()[1])
+        if ref is not None:
+            log(f"reference-style: {ref:.3f} utt/s")
+    except Exception as e:
+        log(f"reference-style subprocess failed ({e})")
+    if ref is None:
+        log("using recorded reference-style baseline 2.14 utt/s")
+        ref = 2.14
+
     model, params, mix = build()
     log("params initialized")
     fused = bench_fused(model, params, mix)
     log(f"fused: {fused:.3f} utt/s")
-    try:
-        ref = bench_reference_style(model, params, mix)
-        log(f"reference-style: {ref:.3f} utt/s")
-    except Exception as e:  # compile-service hiccup: fall back to the
-        # thrice-measured baseline on this chip (2.10/2.11/2.14 utt/s)
-        log(f"reference-style benchmark failed ({e}); using recorded 2.14")
-        ref = 2.14
     # analytic A100 grounding (BASELINE.md "Analytic A100 bound"):
     # 40 TFLOP/utt at the N=30 operating point; torch reference runs
     # batch-1 fp32 host-stepped. SOL-ish: TF32 @45% util = 1.75 utt/s;
