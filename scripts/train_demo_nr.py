@@ -122,8 +122,8 @@ def main():
 
     si_est = float(si_sdr(jnp.asarray(est_clean), jnp.asarray(clean_te)))
     si_floor = float(si_sdr(jnp.asarray(mix_te), jnp.asarray(clean_te)))
-    pesq_est = float(pesq_wb(est_clean[:, 0], clean_te[:, 0]))
-    pesq_floor = float(pesq_wb(mix_te[:, 0], clean_te[:, 0]))
+    pesq_est = float(pesq_wb(est_clean, clean_te))
+    pesq_floor = float(pesq_wb(mix_te, clean_te))
 
     result = {
         "steps": steps,
