@@ -77,7 +77,13 @@ def main(argv=None):
             dm,
             run_dir,
             seed=int(cfg.get("seed", 0)),
-            resume=cfg.get("trainer", {}).get("resume_from_checkpoint") is not None,
+            # reference accepts the key both at top level (train.py:140) and
+            # under trainer (config/trainer/default.yaml:11)
+            resume=(
+                cfg.get("trainer", {}).get("resume_from_checkpoint")
+                or cfg.get("resume_from_checkpoint")
+                or False
+            ),
         )
 
     if cfg.get("test", False):

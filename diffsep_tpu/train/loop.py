@@ -60,6 +60,50 @@ def pad_batch_for_tpu(mix, target, multiple: int = 8):
     return mix, target, weight
 
 
+def _restore_for_resume(resume, ckpt, workdir, state):
+    """Restore a TrainState for `trainer.resume_from_checkpoint` (reference
+    train.py:140-144 passes a checkpoint path to trainer.fit).
+
+    `resume` may be True/"latest" (this run dir's own latest checkpoint —
+    in-place restart after preemption) or a path: a run dir (its
+    checkpoints/ latest), a checkpoints dir, or one specific orbax step
+    dir (`.../checkpoints/<step>` or the best-model symlink). Raises
+    instead of silently training from scratch when nothing restorable is
+    found."""
+    from .checkpoints import CheckpointManager
+
+    state = jax.device_get(state)
+    if resume is True or resume == "latest":
+        if ckpt.latest_step() is None:
+            log_validate.warning(
+                "resume requested but %s has no checkpoint yet; "
+                "starting fresh", ckpt.directory,
+            )
+            return state
+        return ckpt.restore(state)
+
+    src = Path(resume).expanduser().resolve()  # resolves best-model symlink
+    step = None
+    if src.name.isdigit() and src.is_dir():
+        step = int(src.name)
+        src = src.parent
+    elif (src / "checkpoints").is_dir():
+        src = src / "checkpoints"
+    if not src.is_dir():
+        raise FileNotFoundError(f"resume_from_checkpoint: {resume} not found")
+    if src == ckpt.directory:
+        return ckpt.restore(state, step=step)
+    mgr = CheckpointManager(src, best_symlink=False)
+    try:
+        restored = mgr.restore(state, step=step)
+    finally:
+        mgr.close()
+    log_validate.info(
+        "resumed from %s at step %d", src, int(restored.step)
+    )
+    return restored
+
+
 class Logger:
     def __init__(self, logdir):
         self.writer = (
@@ -88,7 +132,7 @@ def fit(
     max_steps: Optional[int] = None,
     check_val_every_n_epoch: int = 1,
     n_devices: Optional[int] = None,
-    resume: bool = False,
+    resume=False,
     log_every: int = 10,
     grad_log_every: int = 25,
     state=None,
@@ -145,8 +189,8 @@ def fit(
     if state is None:
         mix0, tgt0 = next(iter(train_loader))
         state = model.init_state(k_init, jnp.asarray(mix0), jnp.asarray(tgt0))
-        if resume and ckpt.latest_step() is not None:
-            state = ckpt.restore(state)
+        if resume:
+            state = _restore_for_resume(resume, ckpt, workdir, state)
     state = jax.device_put(state, NamedSharding(mesh, P()))
 
     # ZeRO-style parameter sharding (trainer.strategy: fsdp): parameters,

@@ -255,6 +255,55 @@ def test_make_tasks():
     assert make_tasks(2, 8) == [(0, 1), (1, 2)]
 
 
+def test_resume_from_checkpoint_cli(trained_run_dir, wsj0_tree, tmp_path):
+    """trainer.resume_from_checkpoint=<other run dir> restores that run's
+    training state into a NEW run dir (reference train.py:140-144) — this
+    used to be a silent no-op because fit() only looked at the fresh run
+    dir's own empty checkpoint store."""
+    import yaml
+
+    from diffsep_tpu.cli.loading import _config_from_hparams
+    from diffsep_tpu.data.datamodule import WSJ0_mix_Module
+    from diffsep_tpu.model import DiffSepModel
+    from diffsep_tpu.train.loop import fit
+
+    with open(trained_run_dir / "hparams.yaml") as f:
+        cfg = _config_from_hparams(yaml.safe_load(f))
+    model = DiffSepModel(cfg)
+    dm = WSJ0_mix_Module(cfg, pad_to_multiple=int(cfg.model.fs))
+    n_batches = sum(1 for _ in dm.train_dataloader())
+    ckpt_steps = sorted(
+        int(p.name) for p in (trained_run_dir / "checkpoints").iterdir()
+        if p.name.isdigit()
+    )
+    last = ckpt_steps[-1]
+    budget = last + 2 * n_batches  # let the resumed run make real progress
+    state = fit(
+        model, dm, tmp_path / "resumed_run",
+        max_epochs=2, max_steps=budget, n_devices=1,
+        resume=str(trained_run_dir),
+    )
+    # resumed run continues FROM the first run's last step (not from 0)
+    assert last < int(state.step) <= budget
+
+    # a specific orbax step dir also works
+    step_dir = trained_run_dir / "checkpoints" / str(last)
+    state2 = fit(
+        model, dm, tmp_path / "resumed_run2",
+        max_epochs=1, max_steps=budget, n_devices=1,
+        resume=str(step_dir),
+    )
+    assert last < int(state2.step) <= budget
+
+    # a bogus path must raise, not silently train from scratch
+    with pytest.raises(FileNotFoundError):
+        fit(
+            model, dm, tmp_path / "resumed_run3",
+            max_epochs=1, max_steps=3, n_devices=1,
+            resume=str(tmp_path / "nope"),
+        )
+
+
 def test_resume_from_checkpoint(trained_run_dir, wsj0_tree):
     """Checkpoint restore round-trips the full TrainState."""
     import jax
