@@ -142,6 +142,13 @@ class PESQ:
         _pesq = get_pesq()
         est = np.asarray(est)
         ref = np.asarray(ref)
+        if est.ndim != 3 or ref.ndim != 3:
+            # indexing [i, 0] on a (batch, samples) array silently yields
+            # scalars and PESQ then fails with a confusing length error
+            raise ValueError(
+                "PESQ expects (batch, channels, samples) arrays, got "
+                f"est{est.shape} / ref{ref.shape}"
+            )
         n = min(self.max_items, est.shape[0])
         vals = [
             _pesq(self.fs, ref[i, 0], est[i, 0], self.mode) for i in range(n)

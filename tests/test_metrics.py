@@ -89,3 +89,19 @@ def test_stoi_clean_vs_noisy(rng):
     e_clean = stoi(clean, clean, fs, extended=True)
     e_noisy = stoi(clean, noisy, fs, extended=True)
     assert e_clean > 0.95 and e_noisy < e_clean
+
+
+def test_pesq_module_shape_validation(rng):
+    """(batch, samples) input must raise loudly — [i, 0] indexing on 2-D
+    arrays yields scalars and PESQ then fails with a confusing message."""
+    import pytest
+
+    from diffsep_tpu.models.losses import PESQ
+
+    m = PESQ(mode="nb", fs=8000, max_items=1)
+    x3 = rng.standard_normal((1, 1, 8000)).astype("float32")
+    with pytest.raises(ValueError, match="channels"):
+        m(x3[:, 0], x3[:, 0])
+    # the 3-D contract works (native P.862-style backend)
+    val = m(x3, x3)
+    assert val == val  # finite, not NaN
