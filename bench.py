@@ -53,7 +53,9 @@ def build():
     model = DiffSepModel(cfg)
     fs = 8000
     n_samples = 5 * fs
-    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    # batch sweep on this chip (post GroupNorm-rewrite): 16: 3.369,
+    # 24: 3.368, 32: 3.461, 48: 3.452, 64: 3.402 utt/s -> 32 is the peak
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
     rng = np.random.default_rng(0)
     mix = jnp.asarray(rng.standard_normal((batch, 1, n_samples)), jnp.float32) * 0.1
     tgt = jnp.zeros((batch, 2, n_samples), jnp.float32)

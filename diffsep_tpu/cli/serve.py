@@ -34,7 +34,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.audio_io import load_wav, save_wav
-from ..train.losses import denormalize_batch, normalize_batch
 from .loading import load_model
 from .separate import resolve_model_path, scale_output
 
@@ -43,6 +42,24 @@ log = logging.getLogger(__name__)
 from ..compilation_cache import enable as _enable_cache
 
 _enable_cache()
+
+
+def _normalize_rows(mixes, padded):
+    """Normalize each (1, n) signal on its TRUE length, then zero-pad to
+    `padded` (separate.py:132-135): padding first would fold the zero tail
+    into the mixture stats and feed the network an off-distribution
+    (hotter) input. Host numpy (eager device ops cost ~ms each over a
+    remote-TPU link) with the exact train.losses.normalize_batch
+    semantics: Bessel-corrected std, 1e-5 clamp."""
+    rows, means, stds = [], [], []
+    for m in mixes:
+        mean = float(np.mean(m))
+        std = max(float(np.std(m, ddof=1)), 1e-5)
+        m_n = ((m - mean) / std).astype(np.float32)
+        rows.append(np.pad(m_n, ((0, 0), (0, padded - m.shape[-1]))))
+        means.append(mean)
+        stds.append(std)
+    return rows, means, stds
 
 
 class SeparationEngine:
@@ -76,11 +93,14 @@ class SeparationEngine:
         lens = [m.shape[-1] for m in mixes]
         padded = -(-max(lens) // self.bucket) * self.bucket
         real = len(mixes)
-        rows = [np.pad(m, ((0, 0), (0, padded - m.shape[-1]))) for m in mixes]
+        rows, means, stds = _normalize_rows(mixes, padded)
         while len(rows) < self.batch:
             rows.append(np.zeros_like(rows[0]))
-        mix_b = jnp.asarray(np.stack(rows))  # (batch, 1, padded)
-        (mix_n, _), mean, std = normalize_batch(mix_b, None)
+            means.append(0.0)
+            stds.append(1.0)
+        mix_n = jnp.asarray(np.stack(rows))  # (batch, 1, padded), normalized
+        mean = np.asarray(means, np.float32).reshape(-1, 1, 1)
+        std = np.asarray(stds, np.float32).reshape(-1, 1, 1)
         self.n_req += 1
         sampler = self.model.get_pc_sampler(
             self.predictor,
@@ -91,8 +111,9 @@ class SeparationEngine:
             **self.sampler_kwargs,
         )
         est, _ = sampler()
-        est = denormalize_batch(est, mean, std)
-        est = np.asarray(jax.device_get(est))
+        # denormalize on host (eager device elementwise ops are slow over
+        # the remote link; the transfer is needed anyway)
+        est = np.asarray(jax.device_get(est)) * std + mean
         out = []
         for j in range(real):
             e = est[j : j + 1, :, : lens[j]]
@@ -132,9 +153,13 @@ class SeparationEngine:
                     continue
                 dt = time.perf_counter() - t0
                 for (p, _), est in zip(chunk, ests):
-                    for src in range(est.shape[0]):
-                        out = output_dir / f"s{src}" / f"{p.stem}.wav"
-                        save_wav(out, est[src : src + 1], self.fs)
+                    try:  # output I/O errors must not kill serving either
+                        for src in range(est.shape[0]):
+                            out = output_dir / f"s{src}" / f"{p.stem}.wav"
+                            save_wav(out, est[src : src + 1], self.fs)
+                    except Exception as e:
+                        yield p, False, f"write failed: {type(e).__name__}: {e}"
+                        continue
                     yield p, True, f"{dt / len(chunk):.3f}s"
 
 
@@ -187,22 +212,72 @@ def main(argv=None):
         engine.warmup(args.warmup_s)
 
     if args.watch is not None:
-        seen = set()
-        while True:
-            new = [p for p in sorted(args.watch.glob("*.wav")) if p not in seen]
-            for p, ok, msg in engine.process(new, args.output_dir):
-                seen.add(p)
-                print(("DONE" if ok else "ERROR"), p, msg, flush=True)
-            if args.once:
-                return
-            time.sleep(args.poll_s)
+        _watch_loop(engine, args)
+        return
 
-    # stdin line protocol
-    for line in sys.stdin:
-        path = line.strip()
-        if not path:
+    _stdin_loop(engine, args)
+
+
+MAX_ATTEMPTS = 3
+
+
+def _watch_loop(engine, args):
+    done = set()
+    attempts: dict = {}
+    sizes: dict = {}
+    while True:
+        candidates = []
+        for p in sorted(args.watch.glob("*.wav")):
+            if p in done or attempts.get(p, 0) >= MAX_ATTEMPTS:
+                continue
+            # only pick up files whose size is stable across two polls —
+            # a copy into the drop folder races the poll (in --once mode
+            # there is no second poll; tests write atomically)
+            size = p.stat().st_size
+            if not args.once and sizes.get(p) != size:
+                sizes[p] = size
+                continue
+            candidates.append(p)
+        for p, ok, msg in engine.process(candidates, args.output_dir):
+            if ok:
+                done.add(p)
+            else:
+                # failed files are retried on later polls, up to a cap —
+                # a transient device/IO error must not blacklist a request
+                attempts[p] = attempts.get(p, 0) + 1
+                if attempts[p] >= MAX_ATTEMPTS:
+                    msg += f" (giving up after {MAX_ATTEMPTS} attempts)"
+            print(("DONE" if ok else "ERROR"), p, msg, flush=True)
+        if args.once:
+            return
+        time.sleep(args.poll_s)
+
+
+def _stdin_loop(engine, args):
+    """stdin line protocol with micro-batching: after a blocking read of
+    one request, drain whatever further lines are already pending (up to
+    --batch) so concurrent submitters share one compiled program run."""
+    import select
+
+    eof = False
+    while not eof:
+        line = sys.stdin.readline()
+        if not line:
+            break
+        paths = [line.strip()] if line.strip() else []
+        while len(paths) < args.batch:
+            ready, _, _ = select.select([sys.stdin], [], [], 0.05)
+            if not ready:
+                break
+            more = sys.stdin.readline()
+            if not more:
+                eof = True
+                break
+            if more.strip():
+                paths.append(more.strip())
+        if not paths:
             continue
-        for p, ok, msg in engine.process([path], args.output_dir):
+        for p, ok, msg in engine.process(paths, args.output_dir):
             print(("DONE" if ok else "ERROR"), p, msg, flush=True)
 
 

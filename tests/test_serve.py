@@ -92,6 +92,89 @@ def test_engine_skips_bad_inputs(tiny_run, tmp_path):
     assert "sample rate" in results[0][2]
 
 
+def test_engine_normalizes_on_true_length():
+    """Normalization stats must come from the unpadded signal
+    (separate.py:132-135), independent of how far the bucket pads."""
+    from diffsep_tpu.cli.serve import _normalize_rows
+    from diffsep_tpu.train.losses import normalize_batch
+
+    rng = np.random.default_rng(3)
+    wav = rng.standard_normal((1, 1600)).astype(np.float32) * 0.1 + 0.03
+    rows, means, stds = _normalize_rows([wav], padded=8000)
+    # stats equal the jit-path normalize_batch on the TRUE length
+    import jax.numpy as jnp
+
+    (_, _), mean_ref, std_ref = normalize_batch(jnp.asarray(wav)[None], None)
+    assert np.isclose(means[0], float(np.asarray(mean_ref)), atol=1e-6)
+    assert np.isclose(stds[0], float(np.asarray(std_ref)), atol=1e-6)
+    # and do NOT depend on the pad length (the original bug: ~sqrt(5) off)
+    rows2, means2, stds2 = _normalize_rows([wav], padded=1600)
+    assert np.isclose(stds[0], stds2[0])
+    assert rows[0].shape == (1, 8000)
+    assert np.allclose(rows[0][:, :1600], rows2[0])
+    assert np.all(rows[0][:, 1600:] == 0)
+
+
+def test_engine_write_errors_do_not_kill_serving(tiny_run, tmp_path):
+    from diffsep_tpu.cli.loading import load_model
+    from diffsep_tpu.cli.serve import SeparationEngine
+    from diffsep_tpu.data.audio_io import save_wav as _save
+
+    root, run_dir = tiny_run
+    model, params = load_model(run_dir)
+    eng = SeparationEngine(model, params, batch=1, sampler_kwargs={"N": 2})
+    p = tmp_path / "x.wav"
+    _save(p, np.random.default_rng(0).standard_normal((1, 1600)).astype(np.float32) * 0.1, 8000)
+    # output dir is a FILE -> save_wav fails; must yield ERROR, not raise
+    blocker = tmp_path / "outfile"
+    blocker.write_text("")
+    results = list(eng.process([p], blocker))
+    assert len(results) == 1 and results[0][1] is False
+    assert "write failed" in results[0][2]
+
+
+def test_watch_retries_failed_files(tiny_run, tmp_path, capsys):
+    """A file that fails transiently is retried on later polls and only
+    blacklisted after MAX_ATTEMPTS."""
+    import argparse
+
+    from diffsep_tpu.cli import serve as serve_mod
+    from diffsep_tpu.cli.loading import load_model
+    from diffsep_tpu.cli.serve import SeparationEngine, _watch_loop
+
+    root, run_dir = tiny_run
+    model, params = load_model(run_dir)
+    eng = SeparationEngine(model, params, batch=1, sampler_kwargs={"N": 2})
+    watch = tmp_path / "inbox"
+    watch.mkdir()
+    bad = watch / "bad.wav"
+    bad.write_bytes(b"not a wav file")
+    args = argparse.Namespace(
+        watch=watch, output_dir=tmp_path / "out", poll_s=0.01, once=False,
+        batch=1,
+    )
+    # run the loop for MAX_ATTEMPTS+2 polls by patching sleep to count down
+    polls = {"left": serve_mod.MAX_ATTEMPTS + 2}
+
+    def fake_sleep(_):
+        polls["left"] -= 1
+        if polls["left"] <= 0:
+            raise KeyboardInterrupt
+
+    orig_sleep = serve_mod.time.sleep
+    serve_mod.time.sleep = fake_sleep
+    try:
+        with pytest.raises(KeyboardInterrupt):
+            _watch_loop(eng, args)
+    finally:
+        serve_mod.time.sleep = orig_sleep
+    errors = [
+        l for l in capsys.readouterr().out.splitlines() if l.startswith("ERROR")
+    ]
+    assert len(errors) == serve_mod.MAX_ATTEMPTS  # retried, then capped
+    assert "giving up" in errors[-1]
+
+
 def test_watch_once_mode(tiny_run, tmp_path):
     from diffsep_tpu.cli.serve import main
 
