@@ -96,17 +96,17 @@ def evaluate_range_batched(
         }
 
     futures = []
+    results = []
     with ThreadPoolExecutor(max_workers=4) as pool:
         for n_buckets, items in sorted(groups.items()):
             padded_len = n_buckets * bucket
             for off in range(0, len(items), batch_size):
                 chunk = items[off : off + batch_size]
-                mixes, targets, lens = [], [], []
+                mixes, lens = [], []
                 for idx, mix, target in chunk:
                     lens.append(mix.shape[-1])
                     pad = padded_len - mix.shape[-1]
                     mixes.append(np.pad(mix, ((0, 0), (0, pad))))
-                    targets.append(target)
                 # pad the batch to full batch_size so only one shape compiles
                 real = len(chunk)
                 while len(mixes) < batch_size:
@@ -126,6 +126,11 @@ def evaluate_range_batched(
                 mean = np.asarray(mean)
                 std = np.asarray(std)
                 nfe0 = int(np.asarray(jax.device_get(nfe)).ravel()[0])
+                # backpressure: when metrics are slower than sampling
+                # (e.g. fast ddim sweeps) unbounded pending futures would
+                # hold thousands of estimate copies in host memory
+                while len(futures) > 64:
+                    results.append(futures.pop(0).result())
                 for j, (idx, _, target) in enumerate(chunk):
                     L = lens[j]
                     futures.append(
@@ -137,7 +142,7 @@ def evaluate_range_batched(
                 log.info(
                     "%s[batch@%d x%d] %.2fs/utt", device, chunk[0][0], real, t_proc
                 )
-        results = [f.result() for f in futures]
+        results.extend(f.result() for f in futures)
     return results
 
 

@@ -204,8 +204,13 @@ def eval_composite(
         try:
             from .pesq_native import get_pesq
 
-            pesq_value = float(get_pesq()(fs, ref, deg, "wb"))
-        except ImportError:
+            # wb requires 16 kHz (P.862.2); fall back to nb for 8 kHz data
+            mode = "wb" if fs == 16000 else "nb"
+            pesq_value = float(get_pesq()(fs, ref, deg, mode))
+        except Exception:
+            # PESQ failure (short/silent clip, unsupported fs, missing
+            # backend) must degrade to NaN composites, not kill evaluation
+            # — reference behaviour when the pesq package is absent
             pesq_value = float("nan")
 
     csig = 3.093 - 1.029 * llr_mean + 0.603 * pesq_value - 0.009 * wss_mean

@@ -182,13 +182,18 @@ class GroupNorm(nn.Module):
         var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
         inv = jax.lax.rsqrt(var + self.epsilon)
         # fold normalization + affine into one x*a + b elementwise pass
-        # (a, b are per-(batch, group, channel) broadcast scalars)
+        # (a, b are per-(batch, group, channel) broadcast scalars). The
+        # arithmetic stays in f32: in bf16, x*a and b are large and cancel
+        # when |mean| >> std (8-bit mantissa), which the classic
+        # (x - mean) f32 subtraction avoided. The upcast/downcast fuses
+        # into the single elementwise pass — registers only, HBM traffic
+        # is unchanged (still one bf16 read + one bf16 write).
         sc = scale.astype(jnp.float32).reshape(g, c // g)
         bi = bias.astype(jnp.float32).reshape(g, c // g)
-        a = (inv * sc).astype(x.dtype)
-        b = (bi - mean * inv * sc).astype(x.dtype)
-        y = xg * a + b
-        return y.reshape(x.shape)
+        a = inv * sc
+        b = bi - mean * inv * sc
+        y = xg.astype(jnp.float32) * a + b
+        return y.astype(x.dtype).reshape(x.shape)
 
 
 def group_norm(channels: int) -> GroupNorm:

@@ -150,7 +150,14 @@ class PESQ:
                 f"est{est.shape} / ref{ref.shape}"
             )
         n = min(self.max_items, est.shape[0])
-        vals = [
-            _pesq(self.fs, ref[i, 0], est[i, 0], self.mode) for i in range(n)
-        ]
+        vals, last_err = [], None
+        for i in range(n):
+            try:
+                vals.append(_pesq(self.fs, ref[i, 0], est[i, 0], self.mode))
+            except Exception as e:
+                # one short/silent clip must not discard the whole batch's
+                # metric — average the items that scored
+                last_err = e
+        if not vals:
+            raise last_err if last_err is not None else ValueError("empty batch")
         return float(np.mean(vals))

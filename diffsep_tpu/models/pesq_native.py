@@ -9,17 +9,22 @@ this module implements the P.862 pipeline natively:
   level alignment (-> 1e7 target power in the 350-3250 Hz band)
   -> receive-characteristic filter (IRS for nb, 100 Hz high-pass for wb)
   -> time alignment (envelope cross-correlation, single global delay)
-  -> perceptual model: 32 ms Hann frames, 50% overlap -> power spectrum
+  -> perceptual model: Hann frames at 50% overlap -> power spectrum
      -> Bark-band integration -> partial gain/frequency compensation
      -> Zwicker loudness -> masked disturbance + asymmetric disturbance
-  -> L6-over-320ms / L2-over-time aggregation
+  -> L6-over-chunks / L2-over-time aggregation
   -> raw = 4.5 - 0.1*d_sym - 0.0309*d_asym
   -> MOS-LQO mapping (P.862.1 nb / P.862.2 wb sigmoids)
 
 Conformance status (kept honest):
   * The MOS mappings, disturbance combination weights, masking rule,
-    asymmetry rule, Zwicker exponent, frame geometry, and aggregation
-    norms follow the published standard.
+    asymmetry rule, Zwicker exponent, and aggregation norms follow the
+    published standard.
+  * Frame geometry deviates: 64 ms frames (nfft 512 @ 8 kHz / 1024 @
+    16 kHz) instead of P.862's 32 ms, so the L6 chunk=20 window spans
+    ~640 ms rather than ~320 ms — halved temporal resolution for
+    time-localized degradations (the calibration constants below were
+    fitted at this geometry).
   * The Bark band edges and absolute-threshold tables are generated
     analytically (7*asinh(f/650) bark scale; Terhardt threshold curve)
     instead of the ITU reference tables, and utterance-split / bad-frame

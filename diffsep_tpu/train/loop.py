@@ -40,14 +40,29 @@ except ImportError:  # pragma: no cover
 log_validate = logging.getLogger(__name__)
 
 
+def batch_multiple(n_devices: int = 1, layout: int = 8, max_waste: float = 1.0):
+    """Batch-axis multiple for pad_batch_for_tpu: the padded batch must be
+    divisible by the dp mesh size (jax.device_put requirement) and wants
+    to be a multiple of 8 for XLA layout efficiency. For power-of-two
+    meshes lcm(8, n) is 8 or n; for odd mesh sizes the lcm can blow the
+    padding up (batch 6 on 3 devices -> 24, 4x the compute), in which
+    case correctness wins and the multiple falls back to n_devices."""
+    import math
+
+    n = max(int(n_devices), 1)
+    m = layout * n // math.gcd(layout, n)
+    return m if m <= layout * (1 + max_waste) else n
+
+
 def pad_batch_for_tpu(mix, target, multiple: int = 8):
-    """Pad the batch axis to a multiple of 8 (and return per-sample
-    weights) before jit: XLA compiles a batch of 6 into ~4x-slower
-    programs than a batch of 8 on TPU (pathological padded layouts —
-    measured in scripts/perf_train.py: 500 ms/step vs 147 ms/step for the
-    marginal sample count). Filler samples are wrap-repeats of real ones
-    (never zeros: degenerate mixture stats) with weight 0, so the weighted
-    loss is bit-equivalent to the unpadded mean."""
+    """Pad the batch axis to `multiple` (and return per-sample weights)
+    before jit: XLA compiles a batch of 6 into ~4x-slower programs than a
+    batch of 8 on TPU (pathological padded layouts — measured in
+    scripts/perf_train.py: 500 ms/step vs 147 ms/step for the marginal
+    sample count). Filler samples are wrap-repeats of real ones (never
+    zeros: degenerate mixture stats) with weight 0, so the weighted loss
+    is bit-equivalent to the unpadded mean. `multiple` must account for
+    the dp mesh size — use batch_multiple(n_devices)."""
     mix = np.asarray(mix)
     target = np.asarray(target)
     b = mix.shape[0]
@@ -229,9 +244,10 @@ def fit(
     t_start = time.perf_counter()
     stop = False
 
+    pad_mult = batch_multiple(n_devices)
     for epoch in range(max_epochs):
         for mix, target in train_loader:
-            mix, target, weight = pad_batch_for_tpu(mix, target)
+            mix, target, weight = pad_batch_for_tpu(mix, target, pad_mult)
             batch = shard_batch(
                 (jnp.asarray(mix), jnp.asarray(target), jnp.asarray(weight)),
                 mesh,

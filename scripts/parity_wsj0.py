@@ -55,10 +55,21 @@ def run_eval(ckpt_path, data_root, out_dir, limit, split, extra=()):
     import os
 
     if data_root is not None:
+        target = Path(data_root).resolve()
         link = Path("data/wsj0_mix")
-        if not link.exists():
+        if link.is_symlink():
+            if link.resolve() != target:
+                os.remove(link)  # stale link from a previous --data-root
+                os.symlink(target, link)
+        elif link.exists():
+            if link.resolve() != target:
+                raise FileExistsError(
+                    f"data/wsj0_mix exists and is not --data-root ({target}); "
+                    "refusing to evaluate against the wrong dataset"
+                )
+        else:
             link.parent.mkdir(parents=True, exist_ok=True)
-            os.symlink(Path(data_root).resolve(), link)
+            os.symlink(target, link)
     ev.main(argv)
     # find the summary the run wrote
     summaries = sorted(Path(out_dir).glob(f"parity_{split}*/{split}_summary.json"))

@@ -79,3 +79,34 @@ def test_composite_formula_with_given_pesq(speechlike):
         3.093 - 1.029 * res["llr"] + 0.603 * 3.0 - 0.009 * res["wss"]
     )
     np.testing.assert_allclose(res["csig"], expected_csig, rtol=1e-6)
+
+
+def test_eval_composite_pesq_failure_degrades_to_nan():
+    """A clip PESQ cannot score (here: too short, <250 ms) must yield NaN
+    csig/cbak/covl and finite WSS/LLR/SSNR — not crash the evaluation
+    (reference behaviour when the pesq package is absent)."""
+    import numpy as np
+
+    from diffsep_tpu.models.composite import eval_composite
+
+    rng = np.random.default_rng(0)
+    ref = rng.standard_normal(800).astype(np.float32) * 0.1  # 100 ms @ 8k
+    deg = ref + rng.standard_normal(800).astype(np.float32) * 0.01
+    out = eval_composite(ref, deg, fs=8000)
+    assert np.isnan(out["csig"]) and np.isnan(out["cbak"]) and np.isnan(out["covl"])
+    assert np.isfinite(out["wss"]) and np.isfinite(out["llr"])
+
+
+def test_eval_composite_8k_uses_narrowband_pesq():
+    """fs=8000 must take the nb mode (wb raises for 8 kHz) and produce a
+    finite pesq on a long-enough clip."""
+    import numpy as np
+
+    from diffsep_tpu.models.composite import eval_composite
+
+    rng = np.random.default_rng(1)
+    t = np.arange(16000) / 8000
+    ref = (np.sin(2 * np.pi * 440 * t) * 0.1).astype(np.float32)
+    out = eval_composite(ref, ref + 1e-4 * rng.standard_normal(16000).astype(np.float32), fs=8000)
+    assert np.isfinite(out["pesq"])
+    assert np.isfinite(out["csig"])

@@ -164,3 +164,35 @@ def test_separate_fn_runs():
     assert est.shape == target.shape
     assert nfe == 8
     assert np.isfinite(np.asarray(est)).all()
+
+
+def test_batch_multiple_respects_mesh_divisibility():
+    """Padded batches must be shardable over the dp mesh (a 3-device mesh
+    used to crash on device_put: batch 6 padded to 8, 8 % 3 != 0)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diffsep_tpu.parallel.mesh import make_mesh, shard_batch
+    from diffsep_tpu.train.loop import batch_multiple, pad_batch_for_tpu
+
+    # power-of-two meshes keep the layout-friendly multiple of 8
+    assert batch_multiple(1) == 8
+    assert batch_multiple(2) == 8
+    assert batch_multiple(4) == 8
+    assert batch_multiple(8) == 8
+    assert batch_multiple(16) == 16
+    # odd meshes: lcm would blow padding up 4x -> correctness fallback
+    assert batch_multiple(3) == 3
+    assert batch_multiple(6) == 6
+
+    mix = np.random.default_rng(0).standard_normal((6, 1, 64)).astype(np.float32)
+    tgt = np.zeros((6, 2, 64), np.float32)
+    for n in [2, 3, 4, 6, 8]:
+        mesh = make_mesh(n)
+        m, t, w = pad_batch_for_tpu(mix, tgt, batch_multiple(n))
+        assert m.shape[0] % n == 0, (n, m.shape)
+        sharded = shard_batch(
+            (jnp.asarray(m), jnp.asarray(t), jnp.asarray(w)), mesh
+        )
+        assert int(jax.device_get(sharded[2]).sum()) == 6  # real samples
