@@ -193,3 +193,78 @@ def test_watch_once_mode(tiny_run, tmp_path):
     )
     assert (out / "s0" / "a.wav").exists()
     assert (out / "s1" / "a.wav").exists()
+
+
+class _FakeEngine:
+    """Records the path groups process() is called with; no model."""
+
+    def __init__(self):
+        self.calls = []
+
+    def process(self, paths, output_dir):
+        self.calls.append([str(p) for p in paths])
+        for p in paths:
+            yield p, True, "ok"
+
+
+def test_stdin_loop_drains_pending_lines_into_one_batch(tmp_path, capsys, monkeypatch):
+    """Lines already queued on stdin must share one micro-batch instead of
+    one program run per line."""
+    import argparse
+    import io
+    import os
+    import sys
+
+    from diffsep_tpu.cli.serve import _stdin_loop
+
+    r, w = os.pipe()
+    with os.fdopen(w, "w") as wf:
+        wf.write("a.wav\nb.wav\nc.wav\n")
+    # select() needs a real fd; pipe read end provides one (EOF after 3 lines)
+    eng = _FakeEngine()
+    args = argparse.Namespace(batch=4, output_dir=tmp_path)
+    rf = os.fdopen(r, "r")
+    monkeypatch.setattr(sys, "stdin", rf)
+    try:
+        _stdin_loop(eng, args)
+    finally:
+        rf.close()
+    # all three pending lines drained into ONE process() call
+    assert eng.calls == [["a.wav", "b.wav", "c.wav"]]
+    out = capsys.readouterr().out.splitlines()
+    assert len([l for l in out if l.startswith("DONE")]) == 3
+
+
+def test_watch_skips_growing_files_until_stable(tmp_path, monkeypatch):
+    """A file whose size changes between polls (mid-copy) is not picked up
+    until its size is stable across two polls."""
+    import argparse
+
+    from diffsep_tpu.cli import serve as serve_mod
+    from diffsep_tpu.cli.serve import _watch_loop
+
+    watch = tmp_path / "inbox"
+    watch.mkdir()
+    f = watch / "grow.wav"
+    f.write_bytes(b"x" * 100)
+
+    eng = _FakeEngine()
+    args = argparse.Namespace(
+        watch=watch, output_dir=tmp_path / "out", poll_s=0.0, once=False,
+        batch=1,
+    )
+    polls = {"n": 0}
+
+    def fake_sleep(_):
+        polls["n"] += 1
+        if polls["n"] == 1:
+            f.write_bytes(b"x" * 200)  # still growing
+        if polls["n"] >= 4:
+            raise KeyboardInterrupt
+
+    monkeypatch.setattr(serve_mod.time, "sleep", fake_sleep)
+    with pytest.raises(KeyboardInterrupt):
+        _watch_loop(eng, args)
+    # poll1: size recorded (100), skipped. poll2: size changed (200),
+    # skipped again. poll3: stable -> processed exactly once.
+    assert [c for c in eng.calls if c] == [[str(f)]]
