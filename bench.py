@@ -77,6 +77,22 @@ def bench_fused(model, params, mix, n_iter=3):
     return mix.shape[0] / dt
 
 
+def bench_ddim(model, params, mix, n_iter=3):
+    """Beyond-parity fast path: exact-transition DDIM at N=6, no corrector
+    (sampling/predictors.py). Tracked in the graded artifact so regressions
+    in either operating point get caught."""
+    kw = dict(predictor_name="ddim", corrector_name="none", N=6)
+    est, _ = model.separate(params, jax.random.PRNGKey(0), mix, **kw)
+    sync(est)  # compile + first run
+    log("ddim: compiled")
+    t0 = time.perf_counter()
+    for i in range(n_iter):
+        est, _ = model.separate(params, jax.random.PRNGKey(i + 1), mix, **kw)
+        sync(est)
+    dt = (time.perf_counter() - t0) / n_iter
+    return mix.shape[0] / dt
+
+
 def bench_reference_style(model, params, mix):
     """Reference execution shape: batch 1, per-step host dispatch (each
     step a single jitted function; keys precomputed on host)."""
@@ -176,6 +192,8 @@ def main():
     log("params initialized")
     fused = bench_fused(model, params, mix)
     log(f"fused: {fused:.3f} utt/s")
+    ddim = bench_ddim(model, params, mix)
+    log(f"ddim N=6: {ddim:.3f} utt/s")
     # analytic A100 grounding (BASELINE.md "Analytic A100 bound"):
     # 40 TFLOP/utt at the N=30 operating point; torch reference runs
     # batch-1 fp32 host-stepped. SOL-ish: TF32 @45% util = 1.75 utt/s;
@@ -191,6 +209,7 @@ def main():
                 "vs_baseline": round(fused / ref, 3),
                 "vs_a100_sol_est": round(fused / a100_sol, 2),
                 "vs_a100_realistic_est": round(fused / a100_real, 2),
+                "ddim_N6_value": round(ddim, 4),
             }
         )
     )

@@ -132,7 +132,16 @@ class SeparationEngine:
                 if sr != self.fs:
                     yield p, False, f"sample rate {sr} != model {self.fs}"
                     continue
-                items.append((p, np.asarray(wav, np.float32)))
+                wav = np.asarray(wav, np.float32)
+                # reject non-mono here: a (2, n) row would make np.stack in
+                # _run_bucket raise and fail the whole micro-batch, taking
+                # innocent co-batched files down with it
+                if wav.ndim != 2 or wav.shape[0] != 1:
+                    yield p, False, (
+                        f"expected mono (1, n), got shape {wav.shape}"
+                    )
+                    continue
+                items.append((p, wav))
             except Exception as e:  # unreadable file must not kill serving
                 yield p, False, f"{type(e).__name__}: {e}"
 
@@ -222,30 +231,47 @@ MAX_ATTEMPTS = 3
 
 
 def _watch_loop(engine, args):
-    done = set()
-    attempts: dict = {}
-    sizes: dict = {}
+    # bookkeeping is keyed by (path, mtime_ns, size) identity, not bare
+    # path: a new file re-dropped under a previously processed name gets a
+    # fresh identity and is picked up instead of silently skipped
+    done = set()  # identities already processed
+    attempts: dict = {}  # identity -> failed attempt count
+    sizes: dict = {}  # path -> last observed size (copy-stability check)
     while True:
         candidates = []
+        idents = {}
+        present = set()
         for p in sorted(args.watch.glob("*.wav")):
-            if p in done or attempts.get(p, 0) >= MAX_ATTEMPTS:
+            try:
+                st = p.stat()
+            except OSError:  # deleted between glob and stat
+                continue
+            present.add(p)
+            ident = (p, st.st_mtime_ns, st.st_size)
+            idents[p] = ident
+            if ident in done or attempts.get(ident, 0) >= MAX_ATTEMPTS:
                 continue
             # only pick up files whose size is stable across two polls —
             # a copy into the drop folder races the poll (in --once mode
             # there is no second poll; tests write atomically)
-            size = p.stat().st_size
-            if not args.once and sizes.get(p) != size:
-                sizes[p] = size
+            if not args.once and sizes.get(p) != st.st_size:
+                sizes[p] = st.st_size
                 continue
             candidates.append(p)
+        # prune bookkeeping for paths no longer in the folder so a
+        # serve-forever process does not grow without bound
+        done = {d for d in done if d[0] in present}
+        attempts = {k: v for k, v in attempts.items() if k[0] in present}
+        sizes = {k: v for k, v in sizes.items() if k in present}
         for p, ok, msg in engine.process(candidates, args.output_dir):
+            ident = idents[p]
             if ok:
-                done.add(p)
+                done.add(ident)
             else:
                 # failed files are retried on later polls, up to a cap —
                 # a transient device/IO error must not blacklist a request
-                attempts[p] = attempts.get(p, 0) + 1
-                if attempts[p] >= MAX_ATTEMPTS:
+                attempts[ident] = attempts.get(ident, 0) + 1
+                if attempts[ident] >= MAX_ATTEMPTS:
                     msg += f" (giving up after {MAX_ATTEMPTS} attempts)"
             print(("DONE" if ok else "ERROR"), p, msg, flush=True)
         if args.once:
@@ -256,25 +282,53 @@ def _watch_loop(engine, args):
 def _stdin_loop(engine, args):
     """stdin line protocol with micro-batching: after a blocking read of
     one request, drain whatever further lines are already pending (up to
-    --batch) so concurrent submitters share one compiled program run."""
+    --batch) so concurrent submitters share one compiled program run.
+
+    Reads the fd directly (os.read): readline() would pull several pending
+    lines into Python's text-layer buffer where select() cannot see them,
+    so a writer sending many lines in one write (pipe open) would degrade
+    to singleton batches."""
+    import os
     import select
 
-    eof = False
-    while not eof:
-        line = sys.stdin.readline()
-        if not line:
-            break
-        paths = [line.strip()] if line.strip() else []
-        while len(paths) < args.batch:
-            ready, _, _ = select.select([sys.stdin], [], [], 0.05)
+    fd = sys.stdin.fileno()
+    state = {"buf": b"", "eof": False}
+    lines: list = []
+
+    def pull(block: bool) -> None:
+        """Read from the fd, appending complete lines to `lines`."""
+        if state["eof"]:
+            return
+        if not block:
+            ready, _, _ = select.select([fd], [], [], 0.05)
             if not ready:
-                break
-            more = sys.stdin.readline()
-            if not more:
-                eof = True
-                break
-            if more.strip():
-                paths.append(more.strip())
+                return
+        chunk = os.read(fd, 65536)
+        if not chunk:
+            state["eof"] = True
+            if state["buf"]:  # final line without trailing newline
+                lines.append(state["buf"].decode(errors="replace").strip())
+                state["buf"] = b""
+            return
+        state["buf"] += chunk
+        *complete, state["buf"] = state["buf"].split(b"\n")
+        lines.extend(c.decode(errors="replace").strip() for c in complete)
+
+    while not (state["eof"] and not lines):
+        if not lines:
+            pull(block=True)
+            continue
+        # top up the batch from input that is already pending
+        while sum(1 for l in lines if l) < args.batch and not state["eof"]:
+            before = (len(lines), len(state["buf"]))
+            pull(block=False)
+            if (len(lines), len(state["buf"])) == before:
+                break  # nothing further ready right now
+        paths = []
+        while lines and len(paths) < args.batch:
+            l = lines.pop(0)
+            if l:
+                paths.append(l)
         if not paths:
             continue
         for p, ok, msg in engine.process(paths, args.output_dir):

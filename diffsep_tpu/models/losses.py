@@ -13,6 +13,7 @@ the optional `pesq` package exactly like the reference's CPU-side usage
 from __future__ import annotations
 
 import itertools
+import logging
 from typing import Optional
 
 import jax
@@ -160,4 +161,12 @@ class PESQ:
                 last_err = e
         if not vals:
             raise last_err if last_err is not None else ValueError("empty batch")
+        if len(vals) < n:
+            # surface partial failures: a mostly-failed batch would otherwise
+            # silently report the mean of the few survivors
+            logging.getLogger(__name__).warning(
+                "PESQ dropped %d/%d items (last error: %s); metric is the "
+                "mean of the surviving %d",
+                n - len(vals), n, last_err, len(vals),
+            )
         return float(np.mean(vals))

@@ -106,7 +106,7 @@ def _restore_for_resume(resume, ckpt, workdir, state):
         src = src / "checkpoints"
     if not src.is_dir():
         raise FileNotFoundError(f"resume_from_checkpoint: {resume} not found")
-    if src == ckpt.directory:
+    if src == ckpt.directory.resolve():  # ckpt stores absolute(), not resolve()d
         return ckpt.restore(state, step=step)
     mgr = CheckpointManager(src, best_symlink=False)
     try:
@@ -294,8 +294,11 @@ def validate(model, datamodule, state, val_loss_fn, key, mesh):
     for i, (mix, target) in enumerate(datamodule.val_dataloader()):
         mix = jnp.asarray(mix)
         target = jnp.asarray(target)
+        # ALL of validation runs under the EMA weights — the reference swaps
+        # EMA in on eval() before computing the val score loss too
+        # (pl_model.py:650-670: eval() -> ema.copy_to), not just separation
         losses.append(
-            float(val_loss_fn(state.params, mix, target, jnp.asarray(i)))
+            float(val_loss_fn(state.ema.params, mix, target, jnp.asarray(i)))
         )
         if n_sep_done < model.valid_max_sep_batches:
             n_sep_done += 1

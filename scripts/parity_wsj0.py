@@ -95,6 +95,10 @@ def main(argv=None):
     ap.add_argument("--sweep-ddim", action="store_true",
                     help="additionally sweep the fast DDIM sampler at "
                     "N in {3, 6, 12} and print the quality/N curve")
+    ap.add_argument("--trust-pinned", action="store_true",
+                    help="accept the from-memory default --expected value; "
+                    "without this flag the harness refuses to declare PASS "
+                    "against an unverified expectation")
     args = ap.parse_args(argv)
 
     from diffsep_tpu.cli.separate import resolve_model_path
@@ -105,14 +109,25 @@ def main(argv=None):
     summary = run_eval(ckpt, args.data_root, args.output_dir, args.limit, args.split)
     si_sdr = summary["si_sdr"]  # summarize() emits flat per-metric means
     delta = si_sdr - args.expected
+
+    # the shipped default expectation (9.6 dB) was transcribed from memory
+    # of the paper's Table 1 and never re-checked against the PDF (see
+    # module docstring); a "PASS" against an unverified number is not a
+    # parity claim, so refuse it unless the caller opts in
+    default_expected = ap.get_default("expected")
+    unverified = (
+        args.expected == default_expected and not args.trust_pinned
+    )
     report = {
         "split": args.split,
         "si_sdr_mean": si_sdr,
         "expected": args.expected,
         "delta_db": delta,
-        "pass": abs(delta) <= args.tol,
+        "pass": (abs(delta) <= args.tol) and not unverified,
         "n_utts": summary.get("number", None),
     }
+    if unverified:
+        report["expected_provenance"] = "UNVERIFIED (from-memory default)"
 
     if args.sweep_ddim:
         report["ddim_sweep"] = {}
@@ -122,9 +137,23 @@ def main(argv=None):
                 args.limit, args.split,
                 extra=["--predictor", "ddim", "--corrector", "none", "-N", str(n)],
             )
-            report["ddim_sweep"][f"N={n}"] = s["si_sdr"]
+            # record the full quality picture at each N, not just SI-SDR
+            report["ddim_sweep"][f"N={n}"] = {
+                k: s[k]
+                for k in ("si_sdr", "pesq", "pesq_wb", "stoi", "estoi")
+                if k in s
+            }
 
     print(json.dumps(report, indent=2))
+    if unverified:
+        print(
+            "REFUSING to declare PASS: --expected is the from-memory default "
+            f"({default_expected} dB). Re-pin it from arXiv:2210.17327 "
+            "Table 1 and pass --expected <value>, or pass --trust-pinned "
+            "to accept the unverified number.",
+            file=sys.stderr,
+        )
+        sys.exit(2)
     if not report["pass"]:
         sys.exit(1)
 

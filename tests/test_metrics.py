@@ -91,6 +91,103 @@ def test_stoi_clean_vs_noisy(rng):
     assert e_clean > 0.95 and e_noisy < e_clean
 
 
+def _stoi_independent(x, y, extended=False):
+    """Independent loop-based transcription of STOI (Taal et al. 2011) at
+    fs=10 kHz, written from the published algorithm (256-sample Hann frames
+    at 50% overlap, 40 dB silent-frame removal, 512-pt FFT, 15 one-third
+    octave bands from 150 Hz, 30-frame segments, -15 dB SDR clip) — the
+    same role test_composite_golden plays for WSS/LLR: a second, separate
+    derivation that pins metrics.stoi beyond monotonicity."""
+    N_FR, HOP, NFFT, J, N = 256, 128, 512, 15, 30
+    w = np.hanning(N_FR + 2)[1:-1]
+    nf = (len(x) - N_FR) // HOP + 1
+    xw = np.array([x[i * HOP:i * HOP + N_FR] * w for i in range(nf)])
+    yw = np.array([y[i * HOP:i * HOP + N_FR] * w for i in range(nf)])
+    e = 20 * np.log10(np.sqrt((xw**2).sum(1)) + 1e-10)
+    keep = e > e.max() - 40.0
+    xw, yw = xw[keep], yw[keep]
+    xs = np.zeros((len(xw) - 1) * HOP + N_FR)
+    ys = np.zeros_like(xs)
+    for i in range(len(xw)):
+        xs[i * HOP:i * HOP + N_FR] += xw[i]
+        ys[i * HOP:i * HOP + N_FR] += yw[i]
+    f = np.arange(NFFT // 2 + 1) * 10000.0 / NFFT
+    nf2 = (len(xs) - N_FR) // HOP + 1
+    sx = np.array([np.fft.rfft(xs[i * HOP:i * HOP + N_FR] * w, NFFT)
+                   for i in range(nf2)])
+    sy = np.array([np.fft.rfft(ys[i * HOP:i * HOP + N_FR] * w, NFFT)
+                   for i in range(nf2)])
+    X, Y = [], []
+    for j in range(J):
+        cf = 150.0 * 2 ** (j / 3.0)
+        lo = np.argmin((f - cf * 2 ** (-1 / 6)) ** 2)
+        hi = np.argmin((f - cf * 2 ** (1 / 6)) ** 2)
+        X.append(np.sqrt((np.abs(sx[:, lo:hi]) ** 2).sum(1) + 1e-10))
+        Y.append(np.sqrt((np.abs(sy[:, lo:hi]) ** 2).sum(1) + 1e-10))
+    X, Y = np.array(X), np.array(Y)
+    vals = []
+    for m in range(N, X.shape[1] + 1):
+        Xs, Ys = X[:, m - N:m], Y[:, m - N:m]
+        if extended:
+            def rn(A):
+                A = A - A.mean(1, keepdims=True)
+                return A / (np.linalg.norm(A, axis=1, keepdims=True) + 1e-10)
+
+            def cn(A):
+                A = A - A.mean(0, keepdims=True)
+                return A / (np.linalg.norm(A, axis=0, keepdims=True) + 1e-10)
+
+            vals.append(np.sum(cn(rn(Xs)) * cn(rn(Ys))) / J)
+        else:
+            d = 0.0
+            for j in range(J):
+                a = np.linalg.norm(Xs[j]) / (np.linalg.norm(Ys[j]) + 1e-10)
+                yc = np.minimum(Ys[j] * a, Xs[j] * (1 + 10 ** (15 / 20)))
+                xm, ym = Xs[j] - Xs[j].mean(), yc - yc.mean()
+                d += (xm @ ym) / (np.linalg.norm(xm) * np.linalg.norm(ym) + 1e-10)
+            vals.append(d / J)
+    return float(np.mean(vals))
+
+
+def test_stoi_golden_anchors():
+    """metrics.stoi vs an independent transcription AND pinned literals on
+    fixed vectors, so the implementation is anchored by actual values, not
+    just monotonicity (same epistemic upgrade test_composite_golden gave
+    WSS/LLR)."""
+    rng = np.random.default_rng(1234)
+    fs = 10000  # native STOI rate: no resampling in the comparison path
+    t = np.arange(fs) / fs
+    clean = (
+        np.sin(2 * np.pi * 300 * t) * (1 + 0.8 * np.sin(2 * np.pi * 5 * t))
+        + 0.4 * np.sin(2 * np.pi * 1200 * t) * (1 + np.sin(2 * np.pi * 3 * t))
+    )
+    noise = rng.standard_normal(len(t))
+    scale = np.linalg.norm(clean) / np.linalg.norm(noise)
+    cases = {
+        "snr0": clean + noise * scale,
+        "snr10": clean + 10 ** (-0.5) * noise * scale,
+        "lowpass": np.convolve(clean, np.ones(8) / 8, mode="same"),
+    }
+    # literals computed once from the independent transcription (seed 1234)
+    golden = {
+        "snr0": (0.3130374903, 0.3030275653),
+        "snr10": (0.3405642626, 0.3297908729),
+        "lowpass": (0.7936730930, 0.9449219590),
+    }
+    for name, deg in cases.items():
+        g_std, g_ext = golden[name]
+        np.testing.assert_allclose(stoi(clean, deg, fs), g_std, atol=1e-9)
+        np.testing.assert_allclose(
+            stoi(clean, deg, fs, extended=True), g_ext, atol=1e-9
+        )
+        np.testing.assert_allclose(
+            _stoi_independent(clean, deg), g_std, atol=1e-9
+        )
+        np.testing.assert_allclose(
+            _stoi_independent(clean, deg, extended=True), g_ext, atol=1e-9
+        )
+
+
 def test_pesq_module_shape_validation(rng):
     """(batch, samples) input must raise loudly — [i, 0] indexing on 2-D
     arrays yields scalars and PESQ then fails with a confusing message."""

@@ -129,3 +129,20 @@ def test_parity_harness_end_to_end(
     with pytest.raises(SystemExit) as ei:
         parity_wsj0.main(argv[:-4] + ["--tol", "1e-6", "--output-dir", str(out)])
     assert ei.value.code == 1
+
+    # the from-memory default expectation must never produce a PASS:
+    # exit code 2 + an explicit UNVERIFIED marker, even at infinite tol
+    no_expected = [a for i, a in enumerate(argv)
+                   if argv[max(i - 1, 0)] != "--expected" and a != "--expected"]
+    with pytest.raises(SystemExit) as ei:
+        parity_wsj0.main(no_expected)
+    assert ei.value.code == 2
+    text = capsys.readouterr().out
+    report = json.loads(text[text.rindex("{\n"):])
+    assert report["pass"] is False
+    assert "UNVERIFIED" in report["expected_provenance"]
+    # and --trust-pinned restores the explicit opt-in path
+    parity_wsj0.main(no_expected + ["--trust-pinned", "--tol", "1e9"])
+    text = capsys.readouterr().out
+    report = json.loads(text[text.rindex("{\n"):])
+    assert report["pass"] is True

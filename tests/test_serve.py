@@ -235,6 +235,98 @@ def test_stdin_loop_drains_pending_lines_into_one_batch(tmp_path, capsys, monkey
     assert len([l for l in out if l.startswith("DONE")]) == 3
 
 
+def test_engine_rejects_stereo_inputs(tiny_run, tmp_path):
+    """A stereo file must get its own ERROR instead of making np.stack in
+    _run_bucket raise and fail innocent co-batched mono files."""
+    from diffsep_tpu.cli.loading import load_model
+    from diffsep_tpu.cli.serve import SeparationEngine
+
+    root, run_dir = tiny_run
+    model, params = load_model(run_dir)
+    eng = SeparationEngine(model, params, batch=2, sampler_kwargs={"N": 2})
+    rng = np.random.default_rng(4)
+    stereo = tmp_path / "stereo.wav"
+    save_wav(stereo, rng.standard_normal((2, 1600)).astype(np.float32) * 0.1, 8000)
+    mono = tmp_path / "mono.wav"
+    save_wav(mono, rng.standard_normal((1, 1600)).astype(np.float32) * 0.1, 8000)
+    results = {p.name: (ok, msg) for p, ok, msg in
+               eng.process([stereo, mono], tmp_path / "o")}
+    assert results["stereo.wav"][0] is False
+    assert "mono" in results["stereo.wav"][1]
+    assert results["mono.wav"][0] is True  # co-batched file unaffected
+
+
+def test_stdin_loop_drains_single_write_while_pipe_open(tmp_path, monkeypatch):
+    """Several lines sent in ONE write with the pipe kept open must still
+    batch together: readline() used to pull them into the text-layer buffer
+    where select() cannot see them, degrading to singleton batches."""
+    import argparse
+    import os
+    import sys
+    import threading
+    import time as _time
+
+    from diffsep_tpu.cli.serve import _stdin_loop
+
+    r, w = os.pipe()
+    wf = os.fdopen(w, "w")
+    wf.write("a.wav\nb.wav\nc.wav\n")
+    wf.flush()  # pipe stays OPEN — no EOF to flush the buffered lines
+    eng = _FakeEngine()
+    args = argparse.Namespace(batch=4, output_dir=tmp_path)
+    rf = os.fdopen(r, "r")
+    monkeypatch.setattr(sys, "stdin", rf)
+
+    def close_when_processed():
+        deadline = _time.time() + 10
+        while not eng.calls and _time.time() < deadline:
+            _time.sleep(0.01)
+        wf.close()  # EOF terminates the loop
+
+    t = threading.Thread(target=close_when_processed)
+    t.start()
+    try:
+        _stdin_loop(eng, args)
+    finally:
+        t.join()
+        rf.close()
+    assert eng.calls == [["a.wav", "b.wav", "c.wav"]]
+
+
+def test_watch_picks_up_redropped_file(tmp_path, monkeypatch):
+    """A new file dropped under a previously processed name must be picked
+    up again (bookkeeping is keyed by (path, mtime, size) identity)."""
+    import argparse
+
+    from diffsep_tpu.cli import serve as serve_mod
+    from diffsep_tpu.cli.serve import _watch_loop
+
+    watch = tmp_path / "inbox"
+    watch.mkdir()
+    f = watch / "a.wav"
+    f.write_bytes(b"x" * 100)
+    eng = _FakeEngine()
+    args = argparse.Namespace(
+        watch=watch, output_dir=tmp_path / "out", poll_s=0.0, once=False,
+        batch=1,
+    )
+    polls = {"n": 0}
+
+    def fake_sleep(_):
+        polls["n"] += 1
+        if polls["n"] == 3:
+            f.unlink()  # removed from the drop folder
+        if polls["n"] == 4:
+            f.write_bytes(b"y" * 120)  # re-dropped under the same name
+        if polls["n"] >= 8:
+            raise KeyboardInterrupt
+
+    monkeypatch.setattr(serve_mod.time, "sleep", fake_sleep)
+    with pytest.raises(KeyboardInterrupt):
+        _watch_loop(eng, args)
+    assert [c for c in eng.calls if c] == [[str(f)], [str(f)]]
+
+
 def test_watch_skips_growing_files_until_stable(tmp_path, monkeypatch):
     """A file whose size changes between polls (mid-copy) is not picked up
     until its size is stable across two polls."""

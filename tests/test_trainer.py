@@ -166,6 +166,32 @@ def test_separate_fn_runs():
     assert np.isfinite(np.asarray(est)).all()
 
 
+def test_validate_uses_ema_params_for_score_loss():
+    """ALL of validation runs under EMA weights (reference pl_model.py:650-670
+    swaps EMA in on eval()); a regression here silently diverges the logged
+    val/score_loss — and checkpoint selection for configs monitoring it."""
+    from types import SimpleNamespace
+
+    from diffsep_tpu.train import ema as ema_lib
+    from diffsep_tpu.train.loop import validate
+
+    raw = {"w": jnp.asarray(1.0)}
+    shadow = ema_lib.EMAState(
+        params={"w": jnp.asarray(2.0)}, num_updates=jnp.asarray(5, jnp.int32)
+    )
+    state = SimpleNamespace(params=raw, ema=shadow)
+    model = SimpleNamespace(val_losses={}, valid_max_sep_batches=0)
+    dm = SimpleNamespace(
+        val_dataloader=lambda: [
+            (np.zeros((1, 1, 8), np.float32), np.zeros((1, 2, 8), np.float32))
+        ]
+    )
+    # the "loss" is just the parameter value -> tells us which tree was used
+    val_loss_fn = lambda params, mix, target, i: params["w"]
+    out = validate(model, dm, state, val_loss_fn, jax.random.PRNGKey(0), None)
+    assert out["val/score_loss"] == 2.0  # EMA value, not the raw 1.0
+
+
 def test_batch_multiple_respects_mesh_divisibility():
     """Padded batches must be shardable over the dp mesh (a 3-device mesh
     used to crash on device_put: batch 6 padded to 8, 8 % 3 != 0)."""
