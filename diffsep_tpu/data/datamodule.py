@@ -12,8 +12,13 @@ from .loader import DataLoader
 from .vctk_demand import split_train_val
 
 
-def _dl(dataset, dl_opts, seed=0, pad_to_multiple=None):
+def _dl(dataset, dl_opts, seed=0, pad_to_multiple=None, shard=True):
     opts = dict(dl_opts or {})
+    # shard=True -> per-process train shard (DataLoader defaults to the JAX
+    # process topology, like Lightning's DistributedSampler under DDP);
+    # validation/test loaders pass shard=False so every process sees the
+    # full split and logged metrics are identical on all ranks
+    shard_kw = {} if shard else {"num_shards": 1, "shard_index": 0}
     return DataLoader(
         dataset,
         batch_size=int(opts.get("batch_size", 1)),
@@ -21,6 +26,7 @@ def _dl(dataset, dl_opts, seed=0, pad_to_multiple=None):
         num_workers=int(opts.get("num_workers", 0)),
         seed=seed,
         pad_to_multiple=pad_to_multiple,
+        **shard_kw,
     )
 
 
@@ -46,6 +52,7 @@ class WSJ0_mix_Module:
             self.cfg.datamodule[split].get("dl_opts"),
             seed=int(self.cfg.get("seed", 0)),
             pad_to_multiple=self.pad_to_multiple,
+            shard=(split == "train"),
         )
 
     def train_dataloader(self):
@@ -82,6 +89,7 @@ class Valentini_Module:
             self.cfg.datamodule[split].get("dl_opts"),
             seed=int(self.cfg.get("seed", 0)),
             pad_to_multiple=self.pad_to_multiple,
+            shard=(split == "train"),
         )
 
     def train_dataloader(self):

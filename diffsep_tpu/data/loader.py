@@ -30,6 +30,8 @@ class DataLoader:
         prefetch: int = 2,
         pad_to_multiple: Optional[int] = None,
         num_workers: int = 0,  # accepted for config parity; threads used
+        num_shards: Optional[int] = None,
+        shard_index: Optional[int] = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -39,9 +41,36 @@ class DataLoader:
         self.rng = np.random.default_rng(seed)
         self.prefetch = prefetch
         self.pad_to_multiple = pad_to_multiple
+        # per-process dataset shard (reference semantics: Lightning wraps
+        # the train loader in a DistributedSampler under DDP,
+        # config/trainer/allgpus.yaml:8): every process draws the SAME
+        # seeded permutation, pads it by wrapping to a multiple of the
+        # process count so all ranks see equally many batches, and takes
+        # its rank-strided subset. Defaults to the JAX process topology;
+        # pass num_shards=1 to disable (e.g. for validation loaders that
+        # should see the full split on every process).
+        if num_shards is None:
+            import jax
+
+            num_shards = jax.process_count()
+            shard_index = jax.process_index()
+        self.num_shards = max(int(num_shards), 1)
+        self.shard_index = int(shard_index or 0)
+        if not (0 <= self.shard_index < self.num_shards):
+            raise ValueError(
+                f"shard_index {shard_index} not in [0, {num_shards})"
+            )
+
+    def _shard(self, idx: np.ndarray) -> np.ndarray:
+        if self.num_shards == 1:
+            return idx
+        pad = (-len(idx)) % self.num_shards
+        if pad:
+            idx = np.concatenate([idx, idx[:pad]])  # wrap like Lightning
+        return idx[self.shard_index :: self.num_shards]
 
     def __len__(self):
-        n = len(self.dataset)
+        n = len(self._shard(np.arange(len(self.dataset))))
         if self.drop_last:
             return n // self.batch_size
         return -(-n // self.batch_size)
@@ -50,6 +79,7 @@ class DataLoader:
         idx = np.arange(len(self.dataset))
         if self.shuffle:
             self.rng.shuffle(idx)
+        idx = self._shard(idx)
         for s in range(0, len(idx), self.batch_size):
             chunk = idx[s : s + self.batch_size]
             if self.drop_last and len(chunk) < self.batch_size:

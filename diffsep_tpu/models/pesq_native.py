@@ -18,19 +18,19 @@ this module implements the P.862 pipeline natively:
 
 Conformance status (kept honest):
   * The MOS mappings, disturbance combination weights, masking rule,
-    asymmetry rule, Zwicker exponent, and aggregation norms follow the
-    published standard.
-  * Frame geometry deviates: 64 ms frames (nfft 512 @ 8 kHz / 1024 @
-    16 kHz) instead of P.862's 32 ms, so the L6 chunk=20 window spans
-    ~640 ms rather than ~320 ms — halved temporal resolution for
-    time-localized degradations (the calibration constants below were
-    fitted at this geometry).
-  * The Bark band edges and absolute-threshold tables are generated
-    analytically (7*asinh(f/650) bark scale; Terhardt threshold curve)
-    instead of the ITU reference tables, and utterance-split / bad-frame
-    realignment is reduced to one global delay. Scores are exact for
-    identical signals (4.549 nb / 4.644 wb, matching the reference
-    package) and monotonic/ballpark-correct for degraded speech, but NOT
+    asymmetry rule, Zwicker exponent, aggregation norms, the standard's
+    32 ms / 50%-overlap frame geometry (nfft 256 @ 8 kHz / 512 @ 16 kHz),
+    utterance splitting with per-utterance delay estimation, and
+    bad-interval realignment (high-disturbance intervals re-searched for
+    a better local delay, keeping the lower disturbance) follow the
+    published standard's structure.
+  * Remaining deviation: the Bark band edges and absolute-threshold
+    tables are generated analytically (7*asinh(f/650) bark scale;
+    Terhardt threshold curve) instead of the ITU reference tables,
+    pending egress, and the fine per-frame alignment histogram is
+    replaced by direct cross-correlation. Scores are exact for identical
+    signals (4.549 nb / 4.644 wb, matching the reference package) and
+    monotonic/ballpark-correct for degraded speech, but NOT
     bit-conformant to the ITU implementation. When the `pesq` package is
     installed it takes precedence automatically (see `get_pesq`).
 
@@ -52,18 +52,23 @@ class NativePesqError(ValueError):
 # --------------------------------------------------------------------------
 
 _CFG = {
-    8000: dict(nfft=512, downsample=32, n_bark=42),
-    16000: dict(nfft=1024, downsample=64, n_bark=49),
+    # 32 ms frames at 50% overlap — the P.862 geometry
+    8000: dict(nfft=256, downsample=32, n_bark=42),
+    16000: dict(nfft=512, downsample=64, n_bark=49),
 }
 
 _TARGET_POWER = 1e7
 
 # calibration constants (identity-invariant): absolute threshold at 1 kHz
 # in band-density units, the Zwicker loudness scale, and the asymmetric
-# frame-disturbance cap. Fitted so the white-noise-on-speech SNR->MOS
-# curve lands on typical published PESQ behavior
-# (40dB->4.57, 30->4.28, 20->2.52, 10->1.73, 0->1.52; targets ~4.1/3.6/
-# 2.8/2.1/1.45); re-fit against the reference implementation when egress
+# frame-disturbance cap. Re-derived by grid search at the corrected 32 ms
+# geometry (round 3): the previous values remain within noise of the
+# grid optimum (err 0.61 vs 0.60 over the SNR sweep), so they are kept.
+# Achieved white-noise-on-speech curve at this geometry: 40dB->4.56,
+# 30->4.09, 20->2.60, 10->1.91, 0->1.67 (targets ~4.1/3.6/2.8/2.1/1.45 —
+# remembered, not authoritative); the residual curve-shape mismatch is
+# structural (analytic Bark/threshold tables), not a constant-fitting
+# problem. Re-fit against the reference implementation when egress
 # exists. See tests/test_pesq_native.py.
 _P0_1K = 0.1
 _SL = 1.5
@@ -189,6 +194,89 @@ def _frames(x, nfft):
     return x[idx]
 
 
+_SILENCE_GAP_S = 0.2  # min silence separating utterances
+_MIN_UTT_S = 0.3  # shorter active spans are merged/ignored
+
+
+def _split_utterances(ref, fs):
+    """Active-speech utterance spans of the (level-aligned) reference:
+    4 ms block energies, -35 dB activity threshold, gaps shorter than
+    200 ms closed, spans shorter than 300 ms folded into neighbours.
+    Mirrors P.862's utterance segmentation stage; returns sample spans."""
+    block = max(fs // 250, 8)  # 4 ms
+    n = len(ref) // block
+    if n == 0:
+        return [(0, len(ref))]
+    e = (ref[: n * block].reshape(n, block) ** 2).sum(axis=1)
+    db = 10.0 * np.log10(e + 1e-10)
+    act = db > db.max() - 35.0
+    # spans of consecutive active blocks
+    spans = []
+    start = None
+    for i, a in enumerate(act):
+        if a and start is None:
+            start = i
+        elif not a and start is not None:
+            spans.append([start, i])
+            start = None
+    if start is not None:
+        spans.append([start, n])
+    if not spans:
+        return [(0, len(ref))]
+    # close short silence gaps
+    gap = max(int(round(_SILENCE_GAP_S * fs / block)), 1)
+    merged = [spans[0]]
+    for s, e_ in spans[1:]:
+        if s - merged[-1][1] < gap:
+            merged[-1][1] = e_
+        else:
+            merged.append([s, e_])
+    # drop spans that stayed too short (noise blips)
+    min_utt = max(int(round(_MIN_UTT_S * fs / block)), 1)
+    merged = [se for se in merged if se[1] - se[0] >= min_utt] or [
+        [0, n]
+    ]
+    # one-block margin, converted to samples
+    out = []
+    for s, e_ in merged:
+        out.append((max(s - 1, 0) * block, min(e_ + 1, n) * block))
+    return out
+
+
+def _refine_delay(ref_span, deg, d0, start, end, max_shift):
+    """Best local delay for deg against ref[start:end], searched in
+    d0 +- max_shift by direct cross-correlation (replaces P.862's framewise
+    correlation histogram). Returns the refined delay."""
+    lo = start + d0 - max_shift
+    seg_len = (end - start) + 2 * max_shift
+    pad_l = max(-lo, 0)
+    a = deg[max(lo, 0) : max(lo + seg_len - pad_l, 0)]
+    seg = np.zeros(seg_len)
+    seg[pad_l : pad_l + len(a)] = a[: max(seg_len - pad_l, 0)]
+    r = ref_span - ref_span.mean()
+    s = seg - seg.mean()
+    n = 1 << int(np.ceil(np.log2(len(s) + len(r))))
+    corr = np.fft.irfft(np.fft.rfft(s, n) * np.conj(np.fft.rfft(r, n)), n)
+    # lag k means deg[start + d0 - max_shift + k + i] ~ ref[start + i]
+    valid = corr[: 2 * max_shift + 1]
+    k = int(np.argmax(np.abs(valid)))
+    return d0 - max_shift + k
+
+
+def _utterance_frames(x, start, delay, n_frames, nfft):
+    """Frames of x for one utterance at the given delay, zero-padded where
+    the delayed span runs off either end of the signal."""
+    hop = nfft // 2
+    out = np.zeros((n_frames, nfft))
+    for i in range(n_frames):
+        s = start + delay + i * hop
+        e = s + nfft
+        cs, ce = max(s, 0), min(e, len(x))
+        if ce > cs:
+            out[i, cs - s : cs - s + (ce - cs)] = x[cs:ce]
+    return out
+
+
 def pesq(fs: int, ref, deg, mode: str = "wb") -> float:
     """MOS-LQO, signature-compatible with `pesq.pesq` from the package."""
     if mode not in ("nb", "wb"):
@@ -213,38 +301,43 @@ def pesq(fs: int, ref, deg, mode: str = "wb") -> float:
     ref = _input_filter(ref, fs, mode)
     deg = _input_filter(deg, fs, mode)
 
-    # single global time alignment (utterance splitting not implemented)
-    delay = _global_delay(ref, deg, cfg["downsample"])
-    if delay > 0:
-        deg = deg[delay:]
-    elif delay < 0:
-        ref = ref[-delay:]
-    n = min(len(ref), len(deg))
-    ref, deg = ref[:n], deg[:n]
-
+    hop = nfft // 2
     band_idx, centers_hz, widths = _band_partition(fs, nfft, n_bark)
     win = np.hanning(nfft)
 
-    fr = _frames(ref, nfft) * win
-    fd = _frames(deg, nfft) * win
-    if fr.shape[0] < 2:
+    # crude whole-signal delay, then per-utterance refinement (P.862's
+    # utterance-by-utterance alignment stage)
+    crude = _global_delay(ref, deg, cfg["downsample"])
+    max_shift = max(fs // 40, hop)  # 25 ms refinement window
+    utts = _split_utterances(ref, fs)
+    frame_meta = []  # per frame: (utt start, utt delay, index in utt)
+    fr_list, fd_list = [], []
+    for (s, e) in utts:
+        n_frames = max((e - s - nfft) // hop + 1, 0)
+        if n_frames == 0:
+            continue
+        d_u = _refine_delay(ref[s:e], deg, crude, s, e, max_shift)
+        fr_list.append(_utterance_frames(ref, s, 0, n_frames, nfft) * win)
+        fd_list.append(_utterance_frames(deg, s, d_u, n_frames, nfft) * win)
+        frame_meta.extend((s, d_u, i) for i in range(n_frames))
+    if not fr_list or sum(f.shape[0] for f in fr_list) < 2:
         raise NativePesqError("signals too short after alignment")
+    fr = np.concatenate(fr_list)
+    fd = np.concatenate(fd_list)
 
-    # power spectra (exclude DC) -> bark band powers
-    pr = np.abs(np.fft.rfft(fr, axis=1))[:, 1:] ** 2
-    pd = np.abs(np.fft.rfft(fd, axis=1))[:, 1:] ** 2
-    nb = n_bark
-    br = np.zeros((pr.shape[0], nb))
-    bd = np.zeros((pd.shape[0], nb))
-    for b in range(nb):
-        m = band_idx == b
-        br[:, b] = pr[:, m].sum(axis=1)
-        bd[:, b] = pd[:, m].sum(axis=1)
-    # normalize to density-like scale so thresholds are comparable across
-    # band widths
+    # power spectra (exclude DC) -> bark band powers, normalized to a
+    # density-like scale so thresholds are comparable across band widths
     scale = 1.0 / (widths * nfft)
-    br *= scale
-    bd *= scale
+
+    def band_powers(frames):
+        p = np.abs(np.fft.rfft(frames, axis=1))[:, 1:] ** 2
+        bp = np.zeros((p.shape[0], n_bark))
+        for b in range(n_bark):
+            bp[:, b] = p[:, band_idx == b].sum(axis=1)
+        return bp * scale
+
+    br = band_powers(fr)
+    bd = band_powers(fd)
 
     # anchor to P.862 working units: the standard's absolute constants
     # (+50 asymmetry floor, +1e5 frame weighting, 1e7 level target) assume
@@ -296,21 +389,65 @@ def pesq(fs: int, ref, deg, mode: str = "wb") -> float:
         s = sl * base * ratio
         return np.where(p > p0, s, 0.0)
 
-    lr = loudness(br)
-    ld = loudness(bd_eq)
-
-    # masked disturbance
-    d = ld - lr
-    m = 0.25 * np.minimum(lr, ld)
-    dist = np.sign(d) * np.maximum(np.abs(d) - m, 0.0)
-
-    # asymmetry factor per band/frame
-    h = ((bd_eq + 50.0) / (br + 50.0)) ** 1.2
-    h = np.where(h < 3.0, 0.0, np.minimum(h, 12.0))
-
     w = widths / widths.sum()
-    frame_sym = np.sqrt((w * dist**2).sum(axis=1))
-    frame_asym = (w * np.abs(dist) * h).sum(axis=1)
+
+    def disturbance(br_rows, bd_eq_rows):
+        """Masked symmetric + asymmetric frame disturbances (unweighted)."""
+        lr = loudness(br_rows)
+        ld = loudness(bd_eq_rows)
+        d = ld - lr
+        m = 0.25 * np.minimum(lr, ld)
+        dist = np.sign(d) * np.maximum(np.abs(d) - m, 0.0)
+        h = ((bd_eq_rows + 50.0) / (br_rows + 50.0)) ** 1.2
+        h = np.where(h < 3.0, 0.0, np.minimum(h, 12.0))
+        f_sym = np.sqrt((w * dist**2).sum(axis=1))
+        f_asym = (w * np.abs(dist) * h).sum(axis=1)
+        return f_sym, f_asym
+
+    frame_sym, frame_asym = disturbance(br, bd_eq)
+
+    # bad-interval realignment (P.862: intervals whose frame disturbance
+    # exceeds the bad-frame threshold are re-searched for a better local
+    # delay; the realignment that lowers the disturbance wins)
+    bad = frame_sym > 45.0
+    i = 0
+    n_frames_total = len(frame_sym)
+    while i < n_frames_total:
+        if not bad[i]:
+            i += 1
+            continue
+        j = i
+        # run of consecutive bad frames within one utterance
+        while (
+            j < n_frames_total
+            and bad[j]
+            and frame_meta[j][:2] == frame_meta[i][:2]
+        ):
+            j += 1
+        s_u, d_u, f0 = frame_meta[i]
+        f1 = frame_meta[j - 1][2]
+        start_r = s_u + f0 * hop
+        end_r = s_u + f1 * hop + nfft
+        d_new = _refine_delay(
+            ref[start_r:end_r], deg, d_u, start_r, end_r,
+            max(int(0.032 * fs), hop),
+        )
+        if d_new != d_u:
+            n_run = j - i
+            fd_new = (
+                _utterance_frames(deg, s_u + f0 * hop, d_new, n_run, nfft)
+                * win
+            )
+            bd_new = band_powers(fd_new) * c
+            bd_eq_new = bd_new * np.clip(
+                (mean_r + 1000.0) / (mean_d + 1000.0),
+                10 ** (-2.0), 10 ** (2.0),
+            ) * g[i:j, None]
+            sym_new, asym_new = disturbance(br[i:j], bd_eq_new)
+            better = sym_new < frame_sym[i:j]
+            frame_sym[i:j] = np.where(better, sym_new, frame_sym[i:j])
+            frame_asym[i:j] = np.where(better, asym_new, frame_asym[i:j])
+        i = j
 
     # weight frames by audible reference power, clip spikes
     fw = ((tot_r + 1e5) / 1e7) ** 0.04

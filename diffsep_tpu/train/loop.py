@@ -153,10 +153,16 @@ def fit(
     state=None,
 ):
     """Train `model` on `datamodule`. Returns the final TrainState."""
+    # only the first process writes logs/checkpoints/hparams on multi-host
+    # runs (reference: utils.ddp.is_rank_zero gating, train.py:88-93)
+    from ..utils.distributed import is_rank_zero
+
+    rank_zero = is_rank_zero()
     workdir = Path(workdir)
     workdir.mkdir(parents=True, exist_ok=True)
-    with open(workdir / "hparams.yaml", "w") as f:
-        yaml.safe_dump({"config": to_dict(model.config)}, f)
+    if rank_zero:
+        with open(workdir / "hparams.yaml", "w") as f:
+            yaml.safe_dump({"config": to_dict(model.config)}, f)
 
     cfg_trainer = model.config.get("trainer", {}) or {}
     if max_epochs is None:
@@ -183,11 +189,6 @@ def fit(
         n_devices = len(jax.devices()) if devices in (-1, "auto") else int(devices)
     mesh = make_mesh(n_devices)
 
-    # only the first process writes logs/checkpoints on multi-host runs
-    # (reference: utils.ddp.is_rank_zero gating, train.py:88-93)
-    from ..utils.distributed import is_rank_zero
-
-    rank_zero = is_rank_zero()
     logger = Logger(workdir / "tb") if rank_zero else Logger(None)
     ckpt = CheckpointManager(
         workdir / "checkpoints",
@@ -274,7 +275,14 @@ def fit(
         if (epoch + 1) % check_val_every_n_epoch == 0 or stop:
             val_metrics = validate(model, datamodule, state, val_loss_fn, k_sep, mesh)
             logger.log_metrics(val_metrics, step)
-            ckpt.save(step, jax.device_get(state), val_metrics)
+            # rank-gated save: every process sees the same replicated state
+            # and (unsharded) val loader, so rank 0's checkpoint is the
+            # global one; concurrent writes from all ranks would corrupt
+            # the orbax directory. (Cross-host-sharded state would need
+            # multihost orbax instead of device_get — the fsdp strategy is
+            # single-host today, parallel/mesh.py.)
+            if rank_zero:
+                ckpt.save(step, jax.device_get(state), val_metrics)
         if stop:
             break
 

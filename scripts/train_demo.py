@@ -8,9 +8,13 @@ mixture floor. A working system must clearly beat the floor — this
 validates the whole loop (loss -> optimizer -> EMA -> sampler) with real
 gradient descent, not just shape checks.
 
-Run (TPU or CPU):  python scripts/train_demo.py [steps]
-Writes /tmp/train_demo_result.json and prints a summary line.
+Run (TPU or CPU):  python scripts/train_demo.py [steps] [--dtype bfloat16]
+                       [--remat] [--out /tmp/train_demo_result.json]
+Writes the result JSON and prints a summary line. The --dtype/--remat
+knobs drive the bf16-vs-f32 convergence comparison that decides the
+training recipe default (see docs/BF16_AB.md).
 """
+import argparse
 import json
 import sys
 import time
@@ -43,7 +47,14 @@ def make_batch(rng, b, n, fs=8000):
 
 
 def main():
-    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
+    ap = argparse.ArgumentParser()
+    ap.add_argument("steps", nargs="?", type=int, default=2000)
+    ap.add_argument("--dtype", default="bfloat16",
+                    choices=["bfloat16", "float32"])
+    ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--out", default="/tmp/train_demo_result.json")
+    args = ap.parse_args()
+    steps = args.steps
     from diffsep_tpu.config import compose
     from diffsep_tpu.model import DiffSepModel
     from diffsep_tpu.models.losses import SISDRLoss
@@ -54,7 +65,8 @@ def main():
             "model.score_model.backbone_args.ch_mult=[1,1,2]",
             "model.score_model.backbone_args.num_res_blocks=1",
             "model.score_model.backbone_args.attn_resolutions=[64]",
-            "model.score_model.backbone_args.dtype=bfloat16",
+            f"model.score_model.backbone_args.dtype={args.dtype}",
+            f"model.score_model.backbone_args.remat={str(args.remat).lower()}",
             "model.train_source_order=power",
             "model.optimizer.lr=0.001",
             "trainer.accumulate_grad_batches=1",
@@ -76,16 +88,16 @@ def main():
 
     t0 = time.perf_counter()
     loss0 = None
+    curve = []
     for i in range(steps):
         mix_np, tgt_np = make_batch(rng, b, n, fs)
         state, metrics = step_fn(state, jnp.asarray(mix_np), jnp.asarray(tgt_np))
         if i == 0:
             loss0 = float(sync(metrics["train/score_loss"]))
         if (i + 1) % 100 == 0:
-            print(
-                f"step {i + 1}: loss {float(sync(metrics['train/score_loss'])):.4f}",
-                flush=True,
-            )
+            l = float(sync(metrics["train/score_loss"]))
+            curve.append(round(l, 4))
+            print(f"step {i + 1}: loss {l:.4f}", flush=True)
     loss_final = float(sync(metrics["train/score_loss"]))
     train_time = time.perf_counter() - t0
 
@@ -109,6 +121,9 @@ def main():
     )
     result = {
         "steps": steps,
+        "dtype": args.dtype,
+        "remat": bool(args.remat),
+        "loss_curve_every100": curve,
         "train_time_s": round(train_time, 1),
         "loss_first": round(loss0, 4),
         "loss_final": round(loss_final, 4),
@@ -118,7 +133,7 @@ def main():
         "improvement_db": round(si_sdr_est - floor, 2),
     }
     print(json.dumps(result), flush=True)
-    with open("/tmp/train_demo_result.json", "w") as f:
+    with open(args.out, "w") as f:
         json.dump(result, f, indent=2)
 
 

@@ -1,0 +1,126 @@
+"""Worker for the 2-process jax.distributed CPU test (test_parallel.py).
+
+Run as: DIST_PID=<0|1> DIST_PORT=<port> DIST_OUT=<dir> python _dist_worker.py
+
+Exercises, on a real multi-process JAX runtime (gloo CPU collectives):
+  * utils.distributed.initialize_distributed / is_rank_zero
+  * DataLoader per-process train sharding (DistributedSampler semantics)
+  * one data-parallel train step over the global 2-device mesh
+Writes a JSON report the parent test asserts on.
+"""
+import json
+import os
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+pid = int(os.environ["DIST_PID"])
+port = os.environ["DIST_PORT"]
+out_dir = Path(os.environ["DIST_OUT"])
+
+from diffsep_tpu.utils.distributed import initialize_distributed, is_rank_zero
+
+initialize_distributed(
+    coordinator_address=f"127.0.0.1:{port}", num_processes=2, process_id=pid
+)
+
+import jax
+
+assert jax.process_count() == 2, jax.process_count()
+assert is_rank_zero() == (pid == 0)
+
+import numpy as np
+
+# --- per-process loader sharding (defaults to the JAX process topology) ---
+from diffsep_tpu.data.loader import DataLoader
+
+
+class _DS:
+    def __len__(self):
+        return 10
+
+    def __getitem__(self, i):
+        return (
+            np.full((1, 32), float(i), np.float32),
+            np.zeros((2, 32), np.float32),
+        )
+
+
+loader = DataLoader(_DS(), batch_size=5, shuffle=False, prefetch=0)
+seen = [
+    int(b[0][j, 0, 0]) for b in loader for j in range(b[0].shape[0])
+]
+
+# --- one dp train step over the global mesh (1 CPU device per process) ---
+import flax.linen as nn
+import jax.numpy as jnp
+from jax.experimental import multihost_utils
+from jax.sharding import Mesh, PartitionSpec as P
+
+from diffsep_tpu.sde import MixSDE
+from diffsep_tpu.train.trainer import (
+    LossConfig,
+    OptimConfig,
+    init_train_state,
+    make_clipper,
+    make_optimizer,
+    make_train_step,
+)
+
+
+class Tiny(nn.Module):
+    @nn.compact
+    def __call__(self, xt, t, mix):
+        h = jnp.concatenate([xt, jnp.broadcast_to(mix, xt.shape)], axis=1)
+        h = jnp.swapaxes(h, 1, 2)
+        h = nn.Conv(8, (3,))(h) + nn.Dense(8)(t[:, None, None])
+        h = nn.relu(h)
+        h = nn.Conv(xt.shape[1], (3,))(h)
+        return jnp.swapaxes(h, 1, 2)
+
+
+model = Tiny()
+rng = np.random.default_rng(0)  # same on both ranks
+tgt_all = rng.standard_normal((4, 2, 32)).astype(np.float32)
+# each process contributes its own half of the global batch
+tgt_local = jnp.asarray(tgt_all[pid * 2 : (pid + 1) * 2])
+mix_local = tgt_local.sum(axis=1, keepdims=True)
+
+params = model.init(
+    jax.random.PRNGKey(0), tgt_local, jnp.full((2,), 0.5), mix_local
+)
+apply = lambda p, x, tt, m: model.apply(p, x, tt, m)
+sde = MixSDE(ndim=2, N=4)
+opt_cfg = OptimConfig(lr=1e-3)
+tx = make_optimizer(opt_cfg)
+clipper = make_clipper(opt_cfg)
+step_fn = make_train_step(
+    apply, sde, tx, clipper, LossConfig(), opt_cfg, jax.random.PRNGKey(42)
+)
+state = init_train_state(params, tx, clipper)
+
+mesh = Mesh(np.array(jax.devices()), ("dp",))
+state_g = multihost_utils.host_local_array_to_global_array(
+    jax.device_get(state), mesh, P()
+)
+mix_g = multihost_utils.host_local_array_to_global_array(
+    np.asarray(mix_local), mesh, P("dp")
+)
+tgt_g = multihost_utils.host_local_array_to_global_array(
+    np.asarray(tgt_local), mesh, P("dp")
+)
+state_g, metrics = jax.jit(step_fn)(state_g, mix_g, tgt_g)
+loss = float(np.asarray(jax.device_get(metrics["train/score_loss"])))
+step_count = int(np.asarray(jax.device_get(state_g.step)))
+
+report = {
+    "pid": pid,
+    "rank_zero": bool(is_rank_zero()),
+    "seen": seen,
+    "loss": loss,
+    "step": step_count,
+}
+with open(out_dir / f"p{pid}.json", "w") as f:
+    json.dump(report, f)
+print(f"[{pid}] OK {report}", flush=True)

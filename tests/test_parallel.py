@@ -97,3 +97,93 @@ def test_sharded_separate_matches_single_device(rng):
     np.testing.assert_allclose(
         np.asarray(est_sharded), np.asarray(est_single)[:5], atol=1e-5
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-process (multi-host) path: loader sharding + 2-process CPU runtime
+# ---------------------------------------------------------------------------
+
+
+def test_loader_shards_are_disjoint_and_cover():
+    """DistributedSampler semantics (reference config/trainer/allgpus.yaml:8):
+    same seeded permutation on every rank, wrap-padded to a multiple of the
+    process count, rank-strided subsets."""
+    from diffsep_tpu.data.loader import DataLoader
+
+    class DS:
+        def __len__(self):
+            return 11  # deliberately not a multiple of 3
+
+        def __getitem__(self, i):
+            return (np.full((1, 4), float(i), np.float32),
+                    np.zeros((2, 4), np.float32))
+
+    def seen(shard_index, num_shards, shuffle=False):
+        dl = DataLoader(
+            DS(), batch_size=4, shuffle=shuffle, prefetch=0, seed=7,
+            num_shards=num_shards, shard_index=shard_index,
+        )
+        n_shard = -(-11 // num_shards) if num_shards > 1 else 11
+        assert len(dl) == -(-n_shard // 4)
+        return [int(b[0][j, 0, 0]) for b in dl for j in range(b[0].shape[0])]
+
+    shards = [seen(i, 3) for i in range(3)]
+    # equal length on every rank (11 wrap-padded to 12)
+    assert all(len(s) == 4 for s in shards)
+    # together they cover the dataset; only the wrap item repeats
+    flat = sorted(sum(shards, []))
+    assert set(flat) == set(range(11))
+    # shuffle draws the SAME permutation on every rank -> still a partition
+    shards = [seen(i, 3, shuffle=True) for i in range(3)]
+    assert set(sum(shards, [])) == set(range(11))
+
+    # num_shards=1 (validation loaders) sees everything
+    assert sorted(seen(0, 1)) == list(range(11))
+
+    with pytest.raises(ValueError):
+        DataLoader(DS(), num_shards=2, shard_index=5)
+
+
+def test_two_process_distributed_cpu(tmp_path):
+    """Spawn 2 real processes with jax.distributed.initialize on CPU (gloo
+    collectives): initialize_distributed + is_rank_zero + per-process
+    loader shards + one dp train step over the global 2-device mesh."""
+    import json
+    import os
+    import socket
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    worker = Path(__file__).parent / "_dist_worker.py"
+    with socket.socket() as s:  # free port
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu", DIST_PORT=str(port),
+               DIST_OUT=str(tmp_path))
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # sitecustomize would force TPU
+    env.pop("XLA_FLAGS", None)  # 1 device per process, not 8
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker)],
+            env=dict(env, DIST_PID=str(i)),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, o[-2000:]
+
+    reports = [json.load(open(tmp_path / f"p{i}.json")) for i in range(2)]
+    assert reports[0]["rank_zero"] is True
+    assert reports[1]["rank_zero"] is False
+    # loader shards: disjoint, equal-size halves of range(10)
+    s0, s1 = set(reports[0]["seen"]), set(reports[1]["seen"])
+    assert len(s0) == len(s1) == 5
+    assert s0.isdisjoint(s1)
+    assert s0 | s1 == set(range(10))
+    # the dp step ran globally: same replicated loss on both ranks
+    assert reports[0]["step"] == reports[1]["step"] == 1
+    np.testing.assert_allclose(reports[0]["loss"], reports[1]["loss"], rtol=1e-6)

@@ -88,6 +88,56 @@ def test_argument_validation(speech16k):
         pesq(fs, np.zeros(fs), np.zeros(fs), "wb")  # silence
 
 
+def test_degradation_types_hurt(speech16k):
+    """Beyond additive noise: clipping, dropouts, and lowpass filtering
+    must each score below identity and respond to severity (the corrected
+    32 ms geometry gives dropouts real temporal resolution)."""
+    fs, clean = speech16k
+    base = pesq(fs, clean, clean, "wb")
+
+    # hard clipping at decreasing thresholds
+    p95 = np.percentile(np.abs(clean), 95)
+    c_mild = pesq(fs, clean, np.clip(clean, -0.8 * p95, 0.8 * p95), "wb")
+    c_hard = pesq(fs, clean, np.clip(clean, -0.2 * p95, 0.2 * p95), "wb")
+    assert c_mild < base
+    assert c_hard < c_mild
+
+    # time-localized dropouts (zeroed 40 ms holes)
+    def drop(x, n_holes):
+        y = x.copy()
+        hole = int(0.04 * fs)
+        rng = np.random.default_rng(9)
+        for s in rng.integers(0, len(x) - hole, n_holes):
+            y[s : s + hole] = 0.0
+        return y
+
+    d_few = pesq(fs, clean, drop(clean, 3), "wb")
+    d_many = pesq(fs, clean, drop(clean, 25), "wb")
+    assert d_few < base
+    assert d_many < d_few
+
+    # lowpass filtering (moving average) removes high-band content
+    lp = np.convolve(clean, np.ones(16) / 16, mode="same")
+    assert pesq(fs, clean, lp, "wb") < base
+
+
+def test_utterance_split_handles_differing_delays(speech16k):
+    """Two speech bursts with DIFFERENT delays: per-utterance alignment
+    must score far better than any single global delay could."""
+    fs, clean = speech16k
+    half = len(clean) // 2
+    gap = np.zeros(fs // 2)
+    ref = np.concatenate([clean[:half], gap, clean[half:]])
+    # burst 1 delayed +12 ms, burst 2 delayed -15 ms
+    d1, d2 = int(0.012 * fs), int(0.015 * fs)
+    deg = np.concatenate(
+        [np.zeros(d1), clean[:half], gap[: len(gap) - d1 - d2],
+         clean[half:], np.zeros(d2)]
+    )[: len(ref)]
+    s = pesq(fs, ref, deg, "wb")
+    assert s > 3.5, s  # a 12-15 ms misalignment would score ~2 or below
+
+
 def test_dispatcher_prefers_package(monkeypatch):
     fake = types.ModuleType("pesq")
     sentinel = lambda *a, **k: 1.234
