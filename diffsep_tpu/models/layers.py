@@ -101,15 +101,89 @@ class NIN(nn.Module):
         return x @ W.astype(x.dtype) + b.astype(x.dtype)
 
 
+def _mxu_conv_enabled() -> bool:
+    # opt-in: the Pallas implicit-GEMM conv measured SLOWER than XLA's
+    # native conv emitter (41% vs 60% MFU at the hot shape — VPU-bound on
+    # shifted-operand relayouts; see ops/pallas/conv3x3.py docstring), so
+    # the default stays with XLA
+    import os
+
+    return (
+        os.environ.get("DIFFSEP_MXU_CONV", "0") == "1"
+        and jax.default_backend() == "tpu"
+    )
+
+
+class Conv(nn.Module):
+    """Drop-in for flax.linen.Conv (NHWC) with an OPT-IN Pallas
+    implicit-GEMM path for the 3x3 stride-1 undilated case on TPU
+    (ops/pallas/conv3x3.py; measured slower than XLA's native conv
+    emitter — see that module's verdict — so DIFFSEP_MXU_CONV=1 is
+    required to enable it). The class is deliberately NAMED `Conv` so
+    flax auto-naming ("Conv_0", ...) and the {kernel, bias} parameter
+    structure stay bit-identical to nn.Conv — converted reference
+    checkpoints keep mapping 1:1.
+    """
+
+    features: int
+    kernel_size: Sequence[int] = (3, 3)
+    strides: Sequence[int] = (1, 1)
+    kernel_dilation: Sequence[int] = (1, 1)
+    padding: Any = "SAME"
+    use_bias: bool = True
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    bias_init: Callable = nn.initializers.zeros
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel", self.kernel_init, (kh, kw, x.shape[-1], self.features)
+        )
+        bias = (
+            self.param("bias", self.bias_init, (self.features,))
+            if self.use_bias
+            else None
+        )
+        x, kernel, bias = nn.dtypes.promote_dtype(
+            x, kernel, bias, dtype=self.dtype
+        )
+        fast = (
+            (kh, kw) == (3, 3)
+            and tuple(self.strides) == (1, 1)
+            and tuple(self.kernel_dilation) == (1, 1)
+            and self.padding in ("SAME", ((1, 1), (1, 1)))
+            and x.ndim == 4
+            and _mxu_conv_enabled()
+        )
+        if fast:
+            from ..ops.pallas.conv3x3 import conv3x3_mxu
+
+            y = conv3x3_mxu(x, kernel)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x,
+                kernel,
+                window_strides=tuple(self.strides),
+                padding=self.padding,
+                rhs_dilation=tuple(self.kernel_dilation),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        if bias is not None:
+            y = y + bias.reshape((1,) * (y.ndim - 1) + (-1,))
+        return y
+
+
 def conv1x1(
     features: int,
     init_scale: float = 1.0,
     use_bias: bool = True,
     name: str | None = None,
     dtype=None,
-) -> nn.Conv:
+) -> Conv:
     """1x1 conv with DDPM init (layers.py:652-659)."""
-    return nn.Conv(
+    return Conv(
         features,
         (1, 1),
         kernel_init=default_init(init_scale),
@@ -128,9 +202,9 @@ def conv3x3(
     dilation: int = 1,
     name: str | None = None,
     dtype=None,
-) -> nn.Conv:
+) -> Conv:
     """3x3 conv, stride/dilation optional, DDPM init (layers.py:681-696)."""
-    return nn.Conv(
+    return Conv(
         features,
         (3, 3),
         strides=(stride, stride),
