@@ -114,12 +114,55 @@ state_g, metrics = jax.jit(step_fn)(state_g, mix_g, tgt_g)
 loss = float(np.asarray(jax.device_get(metrics["train/score_loss"])))
 step_count = int(np.asarray(jax.device_get(state_g.step)))
 
+# --- fsdp across processes: params sharded over the global dp axis;
+# XLA inserts the all-gathers / reduce-scatters over the cross-process
+# collective backend (gloo here, ICI/DCN on a pod) ---
+from diffsep_tpu.parallel.mesh import fsdp_shardings
+
+params_np = jax.device_get(params)
+specs = fsdp_shardings(params_np, mesh, min_size=8)
+# every process holds the same full param values; make_array_from_callback
+# carves out each process's addressable shard (host_local_array_to_global_
+# array would instead CONCATENATE the replicas)
+params_g = jax.tree_util.tree_map(
+    lambda x, s: jax.make_array_from_callback(
+        np.shape(x), s, lambda idx, x=x: np.asarray(x)[idx]
+    ),
+    params_np,
+    specs,
+)
+
+
+def loss_fn(p, mix, tgt):
+    out = model.apply(p, tgt, jnp.full((tgt.shape[0],), 0.5), mix)
+    return jnp.mean((out - tgt) ** 2)
+
+
+from jax.sharding import NamedSharding
+
+fsdp_loss, fsdp_grads = jax.jit(
+    jax.value_and_grad(loss_fn),
+    # grads keep the ZeRO layout (reduce-scatter instead of all-reduce)
+    out_shardings=(NamedSharding(mesh, P()), specs),
+)(params_g, mix_g, tgt_g)
+fsdp_loss = float(np.asarray(jax.device_get(fsdp_loss)))
+# at least one parameter (and its grad) actually lives sharded: the
+# local shard holds half the elements
+n_sharded = sum(
+    1
+    for leaf in jax.tree_util.tree_leaves(fsdp_grads)
+    if not leaf.sharding.is_fully_replicated
+    and sum(s.data.size for s in leaf.addressable_shards) == leaf.size // 2
+)
+
 report = {
     "pid": pid,
     "rank_zero": bool(is_rank_zero()),
     "seen": seen,
     "loss": loss,
     "step": step_count,
+    "fsdp_loss": fsdp_loss,
+    "fsdp_sharded_leaves": n_sharded,
 }
 with open(out_dir / f"p{pid}.json", "w") as f:
     json.dump(report, f)

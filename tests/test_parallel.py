@@ -187,3 +187,11 @@ def test_two_process_distributed_cpu(tmp_path):
     # the dp step ran globally: same replicated loss on both ranks
     assert reports[0]["step"] == reports[1]["step"] == 1
     np.testing.assert_allclose(reports[0]["loss"], reports[1]["loss"], rtol=1e-6)
+    # fsdp across processes: params/grads genuinely sharded (half the
+    # elements per process), identical loss on both ranks
+    assert reports[0]["fsdp_sharded_leaves"] >= 1
+    assert reports[0]["fsdp_sharded_leaves"] == reports[1]["fsdp_sharded_leaves"]
+    np.testing.assert_allclose(
+        reports[0]["fsdp_loss"], reports[1]["fsdp_loss"], rtol=1e-6
+    )
+    assert np.isfinite(reports[0]["fsdp_loss"])
