@@ -3,6 +3,7 @@ from .mesh import (
     fsdp_shardings,
     local_device_count,
     make_mesh,
+    replicate_global,
     replicated,
     shard_batch,
     shard_params_fsdp,
@@ -14,6 +15,7 @@ __all__ = [
     "fsdp_shardings",
     "shard_params_fsdp",
     "data_sharding",
+    "replicate_global",
     "replicated",
     "shard_batch",
     "local_device_count",

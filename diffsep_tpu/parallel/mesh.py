@@ -24,6 +24,7 @@ __all__ = [
     "data_sharding",
     "replicated",
     "shard_batch",
+    "replicate_global",
     "local_device_count",
 ]
 
@@ -61,9 +62,37 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh, axis: str = "dp"):
-    """Device-put a host batch with the batch dim sharded over `axis`."""
+    """Device-put a host batch with the batch dim sharded over `axis`.
+
+    Multi-process: each process passes its LOCAL batch (the per-process
+    loader shard); the global batch is their concatenation along the
+    batch dim (`jax.make_array_from_process_local_data`) — plain
+    device_put cannot target non-addressable devices."""
     sh = data_sharding(mesh, axis)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sh, np.asarray(x)
+            ),
+            batch,
+        )
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate_global(tree, mesh: Mesh):
+    """Place a host pytree fully replicated over `mesh`, including across
+    processes (every process must hold the same values, e.g. from a
+    shared-seed init). Single-process reduces to a plain device_put."""
+    sh = replicated(mesh)
+    if jax.process_count() == 1:
+        return jax.device_put(tree, sh)
+    host = jax.device_get(tree)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_callback(
+            np.shape(x), sh, lambda idx, x=x: np.asarray(x)[idx]
+        ),
+        host,
+    )
 
 
 def local_device_count() -> int:

@@ -72,6 +72,10 @@ class CheckpointManager:
             step, args=ocp.args.StandardSave(state), metrics=metrics or None
         )
         self._mgr.wait_until_finished()
+        # host-side extras happen on the primary process only (orbax above
+        # coordinates multi-host itself and writes from the primary)
+        if jax.process_index() != 0:
+            return
         if self.best_symlink and metrics and self.monitor in metrics:
             best = self._mgr.best_step()
             if best is not None:

@@ -29,7 +29,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..config.compose import to_dict
 from ..model import DiffSepModel
-from ..parallel.mesh import make_mesh, shard_batch
+from ..parallel.mesh import make_mesh, replicate_global, shard_batch
 from .checkpoints import CheckpointManager
 
 try:
@@ -207,7 +207,9 @@ def fit(
         state = model.init_state(k_init, jnp.asarray(mix0), jnp.asarray(tgt0))
         if resume:
             state = _restore_for_resume(resume, ckpt, workdir, state)
-    state = jax.device_put(state, NamedSharding(mesh, P()))
+    # replicate over the mesh — across processes too on multi-host runs
+    # (same-seed init makes every process's host values identical)
+    state = replicate_global(state, mesh)
 
     # ZeRO-style parameter sharding (trainer.strategy: fsdp): parameters,
     # EMA shadow and matching optimizer moments are split over the dp axis;
@@ -245,7 +247,12 @@ def fit(
     t_start = time.perf_counter()
     stop = False
 
-    pad_mult = batch_multiple(n_devices)
+    # multi-process: each process pads its LOCAL loader shard; the global
+    # batch (local x n_processes) is then divisible by the global mesh
+    # iff the local batch divides the local device count
+    pad_mult = batch_multiple(
+        jax.local_device_count() if jax.process_count() > 1 else n_devices
+    )
     for epoch in range(max_epochs):
         for mix, target in train_loader:
             mix, target, weight = pad_batch_for_tpu(mix, target, pad_mult)
@@ -275,14 +282,14 @@ def fit(
         if (epoch + 1) % check_val_every_n_epoch == 0 or stop:
             val_metrics = validate(model, datamodule, state, val_loss_fn, k_sep, mesh)
             logger.log_metrics(val_metrics, step)
-            # rank-gated save: every process sees the same replicated state
-            # and (unsharded) val loader, so rank 0's checkpoint is the
-            # global one; concurrent writes from all ranks would corrupt
-            # the orbax directory. (Cross-host-sharded state would need
-            # multihost orbax instead of device_get — the fsdp strategy is
-            # single-host today, parallel/mesh.py.)
-            if rank_zero:
-                ckpt.save(step, jax.device_get(state), val_metrics)
+            # ALL processes call save: orbax's CheckpointManager runs an
+            # internal cross-process barrier on multi-host runs, so a
+            # rank-gated call deadlocks the primary (measured: shutdown
+            # barrier timeout in the 2-process fit test). Orbax itself
+            # writes data from the primary host only; the checkpoint dir
+            # must be shared storage. Host-side extras (best symlink) are
+            # rank-gated inside CheckpointManager.
+            ckpt.save(step, jax.device_get(state), val_metrics)
         if stop:
             break
 
@@ -299,20 +306,25 @@ def validate(model, datamodule, state, val_loss_fn, key, mesh):
     losses = []
     sep_metrics = {name: [] for name in model.val_losses}
     n_sep_done = 0
+    # ALL of validation runs under the EMA weights — the reference swaps
+    # EMA in on eval() before computing the val score loss too
+    # (pl_model.py:650-670: eval() -> ema.copy_to), not just separation.
+    # Multi-process: the state lives on the global mesh while validation
+    # batches are process-local (the val loader is unsharded), so pull a
+    # host-local copy of the replicated weights once per validation pass.
+    ema_params = state.ema.params
+    if jax.process_count() > 1:
+        ema_params = jax.device_get(ema_params)
     for i, (mix, target) in enumerate(datamodule.val_dataloader()):
         mix = jnp.asarray(mix)
         target = jnp.asarray(target)
-        # ALL of validation runs under the EMA weights — the reference swaps
-        # EMA in on eval() before computing the val score loss too
-        # (pl_model.py:650-670: eval() -> ema.copy_to), not just separation
         losses.append(
-            float(val_loss_fn(state.ema.params, mix, target, jnp.asarray(i)))
+            float(val_loss_fn(ema_params, mix, target, jnp.asarray(i)))
         )
         if n_sep_done < model.valid_max_sep_batches:
             n_sep_done += 1
-            # evaluation uses the EMA weights (pl_model.py:650-670)
             est, _ = model.separate(
-                state.ema.params, jax.random.fold_in(key, i), mix
+                ema_params, jax.random.fold_in(key, i), mix
             )
             for name, loss in model.val_losses.items():
                 try:

@@ -195,3 +195,46 @@ def test_two_process_distributed_cpu(tmp_path):
         reports[0]["fsdp_loss"], reports[1]["fsdp_loss"], rtol=1e-6
     )
     assert np.isfinite(reports[0]["fsdp_loss"])
+
+
+def test_two_process_fit_cpu(tmp_path):
+    """The REAL training loop across 2 processes: per-process loader
+    shards -> global-mesh dp step, replicated state, all-process orbax
+    save into a shared run dir (rank-gating only the host-side extras —
+    a rank-gated orbax save deadlocks its internal barrier)."""
+    import json
+    import os
+    import socket
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    worker = Path(__file__).parent / "_dist_fit_worker.py"
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    env = dict(os.environ, JAX_PLATFORMS="cpu", DIST_PORT=str(port),
+               DIST_OUT=str(tmp_path))
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker)],
+            env=dict(env, DIST_PID=str(i)),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, o[-3000:]
+    reports = [json.load(open(tmp_path / f"fit_p{i}.json")) for i in range(2)]
+    assert [r["rank_zero"] for r in reports] == [True, False]
+    assert reports[0]["step"] == reports[1]["step"] == 2
+    # checkpoint landed in the SHARED run dir, written once
+    assert reports[0]["ckpt_steps"] == reports[1]["ckpt_steps"] != []
+    assert reports[0]["has_hparams"] and reports[1]["has_hparams"]
+    # replicated state identical on both ranks after the global dp steps
+    np.testing.assert_allclose(
+        reports[0]["param_sum"], reports[1]["param_sum"], rtol=1e-6
+    )
