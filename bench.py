@@ -53,15 +53,21 @@ def build():
     model = DiffSepModel(cfg)
     fs = 8000
     n_samples = 5 * fs
-    # batch sweep on this chip (post GroupNorm-rewrite): 16: 3.369,
-    # 24: 3.368, 32: 3.461, 48: 3.452, 64: 3.402 utt/s -> 32 is the peak
-    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    # round-3 clean sweep on this chip: N30 fused 32: 3.406, 48: 3.455,
+    # 64: 3.296 -> 48 peak; DDIM N6 32: 26.7, 48: 27.1, 64: 28.0 -> 64
+    # peak. Each operating point runs at its own measured peak batch.
+    batch = int(os.environ.get("BENCH_BATCH", "48"))
+    ddim_batch = int(os.environ.get("BENCH_DDIM_BATCH", "64"))
     rng = np.random.default_rng(0)
-    mix = jnp.asarray(rng.standard_normal((batch, 1, n_samples)), jnp.float32) * 0.1
+    b = max(batch, ddim_batch)
+    mix_all = jnp.asarray(
+        rng.standard_normal((b, 1, n_samples)), jnp.float32
+    ) * 0.1
     tgt = jnp.zeros((batch, 2, n_samples), jnp.float32)
+    mix = mix_all[:batch]
     params = model.init_params(jax.random.PRNGKey(0), mix, tgt)
     sync(jax.tree_util.tree_leaves(params)[0])
-    return model, params, mix
+    return model, params, mix, mix_all[:ddim_batch]
 
 
 def bench_fused(model, params, mix, n_iter=3):
@@ -77,10 +83,12 @@ def bench_fused(model, params, mix, n_iter=3):
     return mix.shape[0] / dt
 
 
-def bench_ddim(model, params, mix, n_iter=3):
+def bench_ddim(model, params, mix, n_iter=10):
     """Beyond-parity fast path: exact-transition DDIM at N=6, no corrector
     (sampling/predictors.py). Tracked in the graded artifact so regressions
-    in either operating point get caught."""
+    in either operating point get caught. n_iter is higher than the N=30
+    phase: each run is ~2 s, and 3-iter measurements showed +-10-20%
+    run-to-run spread on this chip."""
     kw = dict(predictor_name="ddim", corrector_name="none", N=6)
     est, _ = model.separate(params, jax.random.PRNGKey(0), mix, **kw)
     sync(est)  # compile + first run
@@ -154,7 +162,7 @@ def bench_reference_style(model, params, mix):
 def main():
     if os.environ.get("_BENCH_REF_CHILD") == "1":
         # child mode: measure ONLY the reference-style baseline and print it
-        model, params, mix = build()
+        model, params, mix, _ = build()
         print(f"REF_RESULT {bench_reference_style(model, params, mix):.6f}")
         return
 
@@ -188,11 +196,11 @@ def main():
         log("using recorded reference-style baseline 2.14 utt/s")
         ref = 2.14
 
-    model, params, mix = build()
+    model, params, mix, mix_ddim = build()
     log("params initialized")
     fused = bench_fused(model, params, mix)
     log(f"fused: {fused:.3f} utt/s")
-    ddim = bench_ddim(model, params, mix)
+    ddim = bench_ddim(model, params, mix_ddim)
     log(f"ddim N=6: {ddim:.3f} utt/s")
     # analytic A100 grounding (BASELINE.md "Analytic A100 bound"):
     # 40 TFLOP/utt at the N=30 operating point; torch reference runs
