@@ -93,6 +93,17 @@ def main(argv=None):
         help="Corrector name (ald2 production; none with ddim)",
     )
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument(
+        "--stream-chunk-s", type=float, default=None,
+        help="Separate in fixed-size chunks of this many seconds with "
+        "overlap-add stitching and chunk-to-chunk permutation alignment "
+        "(diffsep_tpu.streaming) — bounded memory and ONE compiled shape "
+        "for arbitrarily long files",
+    )
+    parser.add_argument(
+        "--stream-overlap-s", type=float, default=0.5,
+        help="Chunk overlap for --stream-chunk-s",
+    )
     args = parser.parse_args(argv)
 
     model_path = resolve_model_path(args.model)
@@ -125,6 +136,23 @@ def main(argv=None):
                 "Skipping %s due to mismatched sample rate: model expects "
                 "%d Hz, file is %d Hz.", wavpath.stem, model_sr, sr
             )
+            continue
+        if args.stream_chunk_s is not None:
+            from ..streaming import separate_streaming
+
+            est = separate_streaming(
+                model, params, jax.random.fold_in(key, i),
+                np.asarray(waveform),
+                chunk_s=args.stream_chunk_s,
+                overlap_s=args.stream_overlap_s,
+                predictor_name=args.predictor,
+                corrector_name=args.corrector,
+                **kw,
+            )[None]
+            est = scale_output(np.asarray(waveform)[None], est)
+            for src in range(est.shape[1]):
+                out = args.output_dir / f"s{src}" / f"{wavpath.stem}.wav"
+                save_wav(out, est[0, src : src + 1], sr)
             continue
         mix = jnp.asarray(waveform)[None]  # (1, 1, T)
         # normalize on the true length, then pad to the bucket so XLA

@@ -360,3 +360,41 @@ def test_watch_skips_growing_files_until_stable(tmp_path, monkeypatch):
     # poll1: size recorded (100), skipped. poll2: size changed (200),
     # skipped again. poll3: stable -> processed exactly once.
     assert [c for c in eng.calls if c] == [[str(f)]]
+
+
+def test_streaming_real_model_long_file(tiny_run, tmp_path):
+    """Streamed separation through the real (tiny) model: a 3 s file at
+    1 s chunks produces full-length, finite, seam-aligned sources, and the
+    CLI --stream-chunk-s path writes the same layout as whole-file mode."""
+    import jax
+
+    from diffsep_tpu.cli.loading import load_model
+    from diffsep_tpu.cli.separate import main as separate_main
+    from diffsep_tpu.streaming import separate_streaming
+
+    root, run_dir = tiny_run
+    model, params = load_model(run_dir)
+    rng = np.random.default_rng(7)
+    n = 3 * 8000
+    mix = (rng.standard_normal((1, n)) * 0.1).astype(np.float32)
+
+    out = separate_streaming(
+        model, params, jax.random.PRNGKey(0), mix,
+        chunk_s=1.0, overlap_s=0.25, batch=2, N=2,
+    )
+    assert out.shape == (2, n)
+    assert np.isfinite(out).all()
+
+    # CLI drive
+    indir = tmp_path / "in"
+    indir.mkdir()
+    save_wav(indir / "long.wav", mix, 8000)
+    outdir = tmp_path / "out"
+    separate_main([
+        str(indir), str(outdir), "--model", str(run_dir),
+        "--stream-chunk-s", "1.0", "--stream-overlap-s", "0.25", "-N", "2",
+    ])
+    for s in ["s0", "s1"]:
+        wav, sr = load_wav(outdir / s / "long.wav")
+        assert sr == 8000 and wav.shape == (1, n)
+        assert np.isfinite(wav).all()
