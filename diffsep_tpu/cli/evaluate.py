@@ -66,7 +66,8 @@ def build_parser():
         "--corrector-steps", type=int, default=None, help="Number of corrector steps"
     )
     parser.add_argument(
-        "--denoise", type=bool, default=True, help="Use denoising in solver"
+        "--denoise", type=_str2bool, default=True,
+        help="Use denoising in solver (true/false)"
     )
     parser.add_argument(
         "--pesq-mode", type=str, choices=["nb", "wb"], default="nb",
@@ -115,7 +116,12 @@ def evaluate_split(
     fig_dir = output_dir / "fig" / split
     wav_dir = output_dir / "wav" / split
 
-    dl = DataLoader(dataset, batch_size=1, shuffle=False)
+    # always the FULL split: the DataLoader's default process-sharding
+    # is for training; evaluation must not silently score 1/P of the
+    # set on a multi-process runtime
+    dl = DataLoader(
+        dataset, batch_size=1, shuffle=False, num_shards=1, shard_index=0
+    )
     results = []
     key = jax.random.PRNGKey(seed)
     sampler_kwargs = dict(sampler_kwargs or {})
@@ -203,6 +209,17 @@ def evaluate_split(
     with open(output_dir / f"{split}_summary.json", "w") as f:
         json.dump(summary, f, indent=2)
     return results, summary
+
+
+def _str2bool(v):
+    # argparse type=bool is a trap: bool('False') is True
+    if isinstance(v, bool):
+        return v
+    if v.lower() in ('1', 'true', 't', 'yes', 'y'):
+        return True
+    if v.lower() in ('0', 'false', 'f', 'no', 'n'):
+        return False
+    raise ValueError(f'expected a boolean, got {v!r}')
 
 
 def main(argv=None):

@@ -59,6 +59,17 @@ def scale_output(mix, sep):
     return num / denom * sep
 
 
+def _str2bool(v):
+    # argparse type=bool is a trap: bool('False') is True
+    if isinstance(v, bool):
+        return v
+    if v.lower() in ('1', 'true', 't', 'yes', 'y'):
+        return True
+    if v.lower() in ('0', 'false', 'f', 'no', 'n'):
+        return False
+    raise ValueError(f'expected a boolean, got {v!r}')
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(
         description="Separate all the wav files in a specified folder"
@@ -77,7 +88,8 @@ def main(argv=None):
         "--corrector-steps", type=int, default=None, help="Number of corrector steps"
     )
     parser.add_argument(
-        "--denoise", type=bool, default=True, help="Use denoising in solver"
+        "--denoise", type=_str2bool, default=True,
+        help="Use denoising in solver (true/false)"
     )
     parser.add_argument(
         "-s", "--schedule", type=str, default=None,

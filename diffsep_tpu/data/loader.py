@@ -54,6 +54,10 @@ class DataLoader:
 
             num_shards = jax.process_count()
             shard_index = jax.process_index()
+        elif num_shards > 1 and shard_index is None:
+            # an explicit multi-way split without a rank would silently give
+            # every caller shard 0 (duplicated data, 1-1/N never seen)
+            raise ValueError("shard_index is required when num_shards > 1")
         self.num_shards = max(int(num_shards), 1)
         self.shard_index = int(shard_index or 0)
         if not (0 <= self.shard_index < self.num_shards):

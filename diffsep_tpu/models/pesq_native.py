@@ -250,7 +250,7 @@ def _refine_delay(ref_span, deg, d0, start, end, max_shift):
     lo = start + d0 - max_shift
     seg_len = (end - start) + 2 * max_shift
     pad_l = max(-lo, 0)
-    a = deg[max(lo, 0) : max(lo + seg_len - pad_l, 0)]
+    a = deg[max(lo, 0) : max(lo + seg_len, 0)]
     seg = np.zeros(seg_len)
     seg[pad_l : pad_l + len(a)] = a[: max(seg_len - pad_l, 0)]
     r = ref_span - ref_span.mean()
@@ -306,24 +306,38 @@ def pesq(fs: int, ref, deg, mode: str = "wb") -> float:
     win = np.hanning(nfft)
 
     # crude whole-signal delay, then per-utterance refinement (P.862's
-    # utterance-by-utterance alignment stage)
+    # utterance-by-utterance alignment stage). Utterance spans drive the
+    # ALIGNMENT only — every frame of the whole signal is scored,
+    # including silence gaps (added noise in pauses is exactly what the
+    # metric must punish); gap frames inherit the delay of the preceding
+    # utterance (crude before the first).
     crude = _global_delay(ref, deg, cfg["downsample"])
     max_shift = max(fs // 40, hop)  # 25 ms refinement window
-    utts = _split_utterances(ref, fs)
-    frame_meta = []  # per frame: (utt start, utt delay, index in utt)
-    fr_list, fd_list = [], []
-    for (s, e) in utts:
-        n_frames = max((e - s - nfft) // hop + 1, 0)
-        if n_frames == 0:
-            continue
-        d_u = _refine_delay(ref[s:e], deg, crude, s, e, max_shift)
-        fr_list.append(_utterance_frames(ref, s, 0, n_frames, nfft) * win)
-        fd_list.append(_utterance_frames(deg, s, d_u, n_frames, nfft) * win)
-        frame_meta.extend((s, d_u, i) for i in range(n_frames))
-    if not fr_list or sum(f.shape[0] for f in fr_list) < 2:
+    utt_delays = []  # (start_sample, end_sample, delay)
+    for (s, e) in _split_utterances(ref, fs):
+        if e - s >= nfft:
+            utt_delays.append(
+                (s, e, _refine_delay(ref[s:e], deg, crude, s, e, max_shift))
+            )
+    n_frames_total = max((len(ref) - nfft) // hop + 1, 0)
+    if n_frames_total < 2:
         raise NativePesqError("signals too short after alignment")
-    fr = np.concatenate(fr_list)
-    fd = np.concatenate(fd_list)
+    frame_meta = []  # per frame: (ref start sample, delay)
+    for i in range(n_frames_total):
+        p = i * hop
+        d = crude
+        for (s, e, d_u) in utt_delays:
+            if s <= p:
+                d = d_u  # last utterance starting at or before this frame
+            else:
+                break
+        frame_meta.append((p, d))
+    fr = np.stack(
+        [_utterance_frames(ref, p, 0, 1, nfft)[0] for p, _ in frame_meta]
+    ) * win
+    fd = np.stack(
+        [_utterance_frames(deg, p, d, 1, nfft)[0] for p, d in frame_meta]
+    ) * win
 
     # power spectra (exclude DC) -> bark band powers, normalized to a
     # density-like scale so thresholds are comparable across band widths
@@ -411,23 +425,20 @@ def pesq(fs: int, ref, deg, mode: str = "wb") -> float:
     # delay; the realignment that lowers the disturbance wins)
     bad = frame_sym > 45.0
     i = 0
-    n_frames_total = len(frame_sym)
     while i < n_frames_total:
         if not bad[i]:
             i += 1
             continue
         j = i
-        # run of consecutive bad frames within one utterance
+        # run of consecutive bad frames sharing one alignment delay
         while (
             j < n_frames_total
             and bad[j]
-            and frame_meta[j][:2] == frame_meta[i][:2]
+            and frame_meta[j][1] == frame_meta[i][1]
         ):
             j += 1
-        s_u, d_u, f0 = frame_meta[i]
-        f1 = frame_meta[j - 1][2]
-        start_r = s_u + f0 * hop
-        end_r = s_u + f1 * hop + nfft
+        start_r, d_u = frame_meta[i]
+        end_r = frame_meta[j - 1][0] + nfft
         d_new = _refine_delay(
             ref[start_r:end_r], deg, d_u, start_r, end_r,
             max(int(0.032 * fs), hop),
@@ -435,8 +446,7 @@ def pesq(fs: int, ref, deg, mode: str = "wb") -> float:
         if d_new != d_u:
             n_run = j - i
             fd_new = (
-                _utterance_frames(deg, s_u + f0 * hop, d_new, n_run, nfft)
-                * win
+                _utterance_frames(deg, start_r, d_new, n_run, nfft) * win
             )
             bd_new = band_powers(fd_new) * c
             bd_eq_new = bd_new * np.clip(

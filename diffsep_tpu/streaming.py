@@ -117,11 +117,9 @@ def separate_streaming(
     out = np.zeros((n_src, starts[-1] + chunk), np.float32)
     weight_ramp = 0.5 - 0.5 * np.cos(np.pi * np.arange(overlap) / overlap)
 
-    prev_perm = tuple(range(n_src))
     for ci, (s, est) in enumerate(zip(starts, ests)):
         if ci == 0:
             out[:, s : s + chunk] = est
-            prev_perm = tuple(range(n_src))
             continue
         # align this chunk's source order to what is already written
         tail = out[:, s : s + overlap]  # predecessor's overlap content

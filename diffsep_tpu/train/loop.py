@@ -214,13 +214,18 @@ def fit(
     # ZeRO-style parameter sharding (trainer.strategy: fsdp): parameters,
     # EMA shadow and matching optimizer moments are split over the dp axis;
     # XLA inserts the gathers/scatters (parallel/mesh.py:fsdp_shardings)
+    fsdp_multihost = (
+        cfg_trainer.get("strategy") == "fsdp" and jax.process_count() > 1
+    )
     if cfg_trainer.get("strategy") == "fsdp" and n_devices > 1:
         from ..parallel.mesh import fsdp_shardings
 
         specs = fsdp_shardings(state.params, mesh)
 
         def put_like(tree):
-            return jax.tree_util.tree_map(jax.device_put, tree, specs)
+            # jit-identity reshard: works for cross-process shardings,
+            # where eager device_put cannot target non-addressable devices
+            return jax.jit(lambda t: t, out_shardings=specs)(tree)
 
         def reshard_matching(node):
             # shard any pytree whose structure matches params (adam mu/nu)
@@ -256,10 +261,10 @@ def fit(
     for epoch in range(max_epochs):
         for mix, target in train_loader:
             mix, target, weight = pad_batch_for_tpu(mix, target, pad_mult)
-            batch = shard_batch(
-                (jnp.asarray(mix), jnp.asarray(target), jnp.asarray(weight)),
-                mesh,
-            )
+            # hand shard_batch the host numpy directly: a jnp.asarray here
+            # would upload to the default device only for shard_batch's
+            # multi-process path to pull it back to host and re-upload
+            batch = shard_batch((mix, target, weight), mesh)
             state, metrics = train_step(state, *batch)
             step += 1
             if step % log_every == 0:
@@ -280,7 +285,18 @@ def fit(
                 break
 
         if (epoch + 1) % check_val_every_n_epoch == 0 or stop:
-            val_metrics = validate(model, datamodule, state, val_loss_fn, k_sep, mesh)
+            # multi-host fsdp: validation and checkpointing need host access
+            # to the weights, but cross-process-sharded arrays cannot be
+            # device_get — all-gather the state to replicated first (an
+            # XLA collective; runs only at validation cadence)
+            io_state = (
+                jax.jit(lambda s: s, out_shardings=NamedSharding(mesh, P()))(
+                    state
+                )
+                if fsdp_multihost
+                else state
+            )
+            val_metrics = validate(model, datamodule, io_state, val_loss_fn, k_sep, mesh)
             logger.log_metrics(val_metrics, step)
             # ALL processes call save: orbax's CheckpointManager runs an
             # internal cross-process barrier on multi-host runs, so a
@@ -289,7 +305,7 @@ def fit(
             # writes data from the primary host only; the checkpoint dir
             # must be shared storage. Host-side extras (best symlink) are
             # rank-gated inside CheckpointManager.
-            ckpt.save(step, jax.device_get(state), val_metrics)
+            ckpt.save(step, jax.device_get(io_state), val_metrics)
         if stop:
             break
 

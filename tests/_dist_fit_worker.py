@@ -63,8 +63,10 @@ class _DM:
         )
 
 
+strategy = os.environ.get("DIST_STRATEGY", "")
 cfg = compose(
-    [
+    ([f"trainer.strategy={strategy}"] if strategy else [])
+    + [
         "model.score_model.backbone_args.nf=4",
         "model.score_model.backbone_args.ch_mult=[1,2]",
         "model.score_model.backbone_args.num_res_blocks=1",

@@ -197,11 +197,15 @@ def test_two_process_distributed_cpu(tmp_path):
     assert np.isfinite(reports[0]["fsdp_loss"])
 
 
-def test_two_process_fit_cpu(tmp_path):
+@pytest.mark.parametrize("strategy", ["", "fsdp"])
+def test_two_process_fit_cpu(tmp_path, strategy):
     """The REAL training loop across 2 processes: per-process loader
     shards -> global-mesh dp step, replicated state, all-process orbax
     save into a shared run dir (rank-gating only the host-side extras —
-    a rank-gated orbax save deadlocks its internal barrier)."""
+    a rank-gated orbax save deadlocks its internal barrier). The fsdp
+    variant additionally drives the jit-identity resharding and the
+    gather-before-validate/checkpoint path (eager device_get/device_put
+    cannot touch cross-process shardings)."""
     import json
     import os
     import socket
@@ -214,7 +218,7 @@ def test_two_process_fit_cpu(tmp_path):
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
     env = dict(os.environ, JAX_PLATFORMS="cpu", DIST_PORT=str(port),
-               DIST_OUT=str(tmp_path))
+               DIST_OUT=str(tmp_path), DIST_STRATEGY=strategy)
     env.pop("PALLAS_AXON_POOL_IPS", None)
     env.pop("XLA_FLAGS", None)
     procs = [

@@ -138,6 +138,22 @@ def test_utterance_split_handles_differing_delays(speech16k):
     assert s > 3.5, s  # a 12-15 ms misalignment would score ~2 or below
 
 
+def test_noise_in_silence_gap_is_punished(speech16k):
+    """Utterance splitting is for ALIGNMENT only — every frame is scored,
+    so loud noise confined to a silence gap between utterances must tank
+    the score (a framing scheme that skips gaps would return near-clean)."""
+    fs, clean = speech16k
+    gap = np.zeros(fs)  # 1 s silence between two speech bursts
+    ref = np.concatenate([clean[: 2 * fs], gap, clean[2 * fs :]])
+    deg = ref.copy()
+    rng = np.random.default_rng(11)
+    noise = rng.standard_normal(fs) * np.sqrt((clean**2).mean())
+    deg[2 * fs : 3 * fs] += noise  # noise ONLY inside the gap
+    s_clean = pesq(fs, ref, ref, "wb")
+    s_gap_noise = pesq(fs, ref, deg, "wb")
+    assert s_gap_noise < s_clean - 0.5, (s_clean, s_gap_noise)
+
+
 def test_dispatcher_prefers_package(monkeypatch):
     fake = types.ModuleType("pesq")
     sentinel = lambda *a, **k: 1.234
