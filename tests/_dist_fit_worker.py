@@ -108,3 +108,8 @@ report = {
 with open(out_dir / f"fit_p{pid}.json", "w") as f:
     json.dump(report, f)
 print(f"[{pid}] FIT OK {report}", flush=True)
+# leave together: a large exit skew between ranks trips the JAX
+# coordination service's shutdown barrier and kills the slower one
+from jax.experimental import multihost_utils as _mh
+_mh.sync_global_devices("worker_done")
+

@@ -172,7 +172,7 @@ def test_two_process_distributed_cpu(tmp_path):
         )
         for i in range(2)
     ]
-    outs = [p.communicate(timeout=300)[0] for p in procs]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
     for p, o in zip(procs, outs):
         assert p.returncode == 0, o[-2000:]
 
@@ -229,7 +229,7 @@ def test_two_process_fit_cpu(tmp_path, strategy):
         )
         for i in range(2)
     ]
-    outs = [p.communicate(timeout=600)[0] for p in procs]
+    outs = [p.communicate(timeout=1500)[0] for p in procs]
     for p, o in zip(procs, outs):
         assert p.returncode == 0, o[-3000:]
     reports = [json.load(open(tmp_path / f"fit_p{i}.json")) for i in range(2)]
