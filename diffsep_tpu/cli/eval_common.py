@@ -133,3 +133,15 @@ def save_fig(
     fig.colorbar(im, cax=cbar_ax)
     fig.savefig(fig_out_dir / f"evo_{batch_idx:03d}.pdf")
     plt.close(fig)
+
+
+def str2bool(v):
+    """argparse-friendly boolean: type=bool is a trap (bool('False') is
+    True); accepts true/false/1/0/yes/no in any case."""
+    if isinstance(v, bool):
+        return v
+    if v.lower() in ("1", "true", "t", "yes", "y"):
+        return True
+    if v.lower() in ("0", "false", "f", "no", "n"):
+        return False
+    raise ValueError(f"expected a boolean, got {v!r}")

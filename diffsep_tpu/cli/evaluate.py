@@ -24,7 +24,7 @@ import yaml
 from ..config.compose import ConfigNode
 from ..data import DataLoader, NoisyDataset, WSJ0_mix
 from ..train.losses import normalize_batch
-from .eval_common import compute_metrics, save_fig, save_samples, summarize
+from .eval_common import compute_metrics, save_fig, save_samples, summarize, str2bool
 from .loading import _config_from_hparams, load_model
 
 log = logging.getLogger(__name__)
@@ -66,7 +66,7 @@ def build_parser():
         "--corrector-steps", type=int, default=None, help="Number of corrector steps"
     )
     parser.add_argument(
-        "--denoise", type=_str2bool, default=True,
+        "--denoise", type=str2bool, default=True,
         help="Use denoising in solver (true/false)"
     )
     parser.add_argument(
@@ -209,17 +209,6 @@ def evaluate_split(
     with open(output_dir / f"{split}_summary.json", "w") as f:
         json.dump(summary, f, indent=2)
     return results, summary
-
-
-def _str2bool(v):
-    # argparse type=bool is a trap: bool('False') is True
-    if isinstance(v, bool):
-        return v
-    if v.lower() in ('1', 'true', 't', 'yes', 'y'):
-        return True
-    if v.lower() in ('0', 'false', 'f', 'no', 'n'):
-        return False
-    raise ValueError(f'expected a boolean, got {v!r}')
 
 
 def main(argv=None):

@@ -29,7 +29,7 @@ import numpy as np
 
 from ..data import DataLoader, WSJ0_mix
 from ..train.losses import normalize_batch
-from .eval_common import compute_metrics, summarize
+from .eval_common import compute_metrics, summarize, str2bool
 from .loading import load_model
 
 log = logging.getLogger(__name__)
@@ -225,7 +225,7 @@ def main(argv=None):
     parser.add_argument("-N", type=int, default=None)
     parser.add_argument("--snr", type=float, default=None)
     parser.add_argument("--corrector-steps", type=int, default=None)
-    parser.add_argument("--denoise", type=bool, default=True)
+    parser.add_argument("--denoise", type=str2bool, default=True)
     parser.add_argument("-s", "--schedule", type=str, default=None)
     parser.add_argument("--pesq-mode", choices=["nb", "wb"], default="nb")
     parser.add_argument("--stoi-no-extended", action="store_true")

@@ -19,6 +19,7 @@ import numpy as np
 from tqdm import tqdm
 
 from ..data.audio_io import load_wav, save_wav
+from .eval_common import str2bool
 from .loading import load_model
 
 DEFAULT_MODEL = "fakufaku/diffsep"
@@ -59,17 +60,6 @@ def scale_output(mix, sep):
     return num / denom * sep
 
 
-def _str2bool(v):
-    # argparse type=bool is a trap: bool('False') is True
-    if isinstance(v, bool):
-        return v
-    if v.lower() in ('1', 'true', 't', 'yes', 'y'):
-        return True
-    if v.lower() in ('0', 'false', 'f', 'no', 'n'):
-        return False
-    raise ValueError(f'expected a boolean, got {v!r}')
-
-
 def main(argv=None):
     parser = argparse.ArgumentParser(
         description="Separate all the wav files in a specified folder"
@@ -88,7 +78,7 @@ def main(argv=None):
         "--corrector-steps", type=int, default=None, help="Number of corrector steps"
     )
     parser.add_argument(
-        "--denoise", type=_str2bool, default=True,
+        "--denoise", type=str2bool, default=True,
         help="Use denoising in solver (true/false)"
     )
     parser.add_argument(

@@ -313,11 +313,11 @@ def pesq(fs: int, ref, deg, mode: str = "wb") -> float:
     # utterance (crude before the first).
     crude = _global_delay(ref, deg, cfg["downsample"])
     max_shift = max(fs // 40, hop)  # 25 ms refinement window
-    utt_delays = []  # (start_sample, end_sample, delay)
+    utt_delays = []  # (start_sample, delay); applies until the next start
     for (s, e) in _split_utterances(ref, fs):
         if e - s >= nfft:
             utt_delays.append(
-                (s, e, _refine_delay(ref[s:e], deg, crude, s, e, max_shift))
+                (s, _refine_delay(ref[s:e], deg, crude, s, e, max_shift))
             )
     n_frames_total = max((len(ref) - nfft) // hop + 1, 0)
     if n_frames_total < 2:
@@ -326,18 +326,27 @@ def pesq(fs: int, ref, deg, mode: str = "wb") -> float:
     for i in range(n_frames_total):
         p = i * hop
         d = crude
-        for (s, e, d_u) in utt_delays:
+        for (s, d_u) in utt_delays:
             if s <= p:
                 d = d_u  # last utterance starting at or before this frame
             else:
                 break
         frame_meta.append((p, d))
-    fr = np.stack(
-        [_utterance_frames(ref, p, 0, 1, nfft)[0] for p, _ in frame_meta]
-    ) * win
-    fd = np.stack(
-        [_utterance_frames(deg, p, d, 1, nfft)[0] for p, d in frame_meta]
-    ) * win
+    # reference frames are delay-0 at p = i*hop: exactly _frames
+    fr = _frames(ref, nfft)[:n_frames_total] * win
+    # degraded frames per constant-delay run (one vector build per
+    # utterance-delay run instead of one Python call per frame)
+    fd = np.empty_like(fr)
+    i = 0
+    while i < n_frames_total:
+        j = i
+        while j < n_frames_total and frame_meta[j][1] == frame_meta[i][1]:
+            j += 1
+        fd[i:j] = _utterance_frames(
+            deg, i * hop, frame_meta[i][1], j - i, nfft
+        )
+        i = j
+    fd *= win
 
     # power spectra (exclude DC) -> bark band powers, normalized to a
     # density-like scale so thresholds are comparable across band widths

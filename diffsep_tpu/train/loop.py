@@ -220,7 +220,12 @@ def fit(
     if cfg_trainer.get("strategy") == "fsdp" and n_devices > 1:
         from ..parallel.mesh import fsdp_shardings
 
-        specs = fsdp_shardings(state.params, mesh)
+        # trainer.fsdp_min_size: smallest parameter (elements) worth
+        # sharding — exposed so tests can force tiny models to shard
+        specs = fsdp_shardings(
+            state.params, mesh,
+            min_size=int(cfg_trainer.get("fsdp_min_size", 2**16)),
+        )
 
         def put_like(tree):
             # jit-identity reshard: works for cross-process shardings,
@@ -247,6 +252,22 @@ def fit(
 
     train_step = jax.jit(model.make_train_step(k_train), donate_argnums=(0,))
     val_loss_fn = jax.jit(model.make_val_loss(k_val))
+
+    # multi-host fsdp: validation/checkpointing need host access to the
+    # weights, but cross-process-sharded arrays cannot be device_get.
+    # Gather PER LEAF to host (peak extra device memory = one leaf, not a
+    # full replicated TrainState — which would defeat fsdp exactly in the
+    # does-not-fit regime it exists for). Hoisted jit: one compile per
+    # distinct leaf shape for the whole run, not per validation epoch.
+    if fsdp_multihost:
+        _gather_leaf = jax.jit(
+            lambda x: x, out_shardings=NamedSharding(mesh, P())
+        )
+
+        def gather_host(tree):
+            return jax.tree_util.tree_map(
+                lambda x: np.asarray(jax.device_get(_gather_leaf(x))), tree
+            )
 
     step = int(jax.device_get(state.step))
     t_start = time.perf_counter()
@@ -285,17 +306,16 @@ def fit(
                 break
 
         if (epoch + 1) % check_val_every_n_epoch == 0 or stop:
-            # multi-host fsdp: validation and checkpointing need host access
-            # to the weights, but cross-process-sharded arrays cannot be
-            # device_get — all-gather the state to replicated first (an
-            # XLA collective; runs only at validation cadence)
-            io_state = (
-                jax.jit(lambda s: s, out_shardings=NamedSharding(mesh, P()))(
-                    state
+            if fsdp_multihost:
+                # validate only touches the EMA weights; keep the rest of
+                # the state sharded
+                io_state = state.replace(
+                    ema=state.ema._replace(
+                        params=gather_host(state.ema.params)
+                    )
                 )
-                if fsdp_multihost
-                else state
-            )
+            else:
+                io_state = state
             val_metrics = validate(model, datamodule, io_state, val_loss_fn, k_sep, mesh)
             logger.log_metrics(val_metrics, step)
             # ALL processes call save: orbax's CheckpointManager runs an
@@ -305,7 +325,11 @@ def fit(
             # writes data from the primary host only; the checkpoint dir
             # must be shared storage. Host-side extras (best symlink) are
             # rank-gated inside CheckpointManager.
-            ckpt.save(step, jax.device_get(io_state), val_metrics)
+            ckpt.save(
+                step,
+                gather_host(state) if fsdp_multihost else jax.device_get(state),
+                val_metrics,
+            )
         if stop:
             break
 

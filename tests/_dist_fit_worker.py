@@ -65,7 +65,15 @@ class _DM:
 
 strategy = os.environ.get("DIST_STRATEGY", "")
 cfg = compose(
-    ([f"trainer.strategy={strategy}"] if strategy else [])
+    # fsdp_min_size=8: the tiny test model's largest leaf is ~1k elements,
+    # so the default 2**16 threshold would shard NOTHING and the
+    # cross-process reshard/gather paths under test would only ever see
+    # replicated arrays
+    (
+        [f"trainer.strategy={strategy}", "trainer.fsdp_min_size=8"]
+        if strategy
+        else []
+    )
     + [
         "model.score_model.backbone_args.nf=4",
         "model.score_model.backbone_args.ch_mult=[1,2]",
@@ -90,20 +98,35 @@ workdir = out_dir / "run"
 state = fit(model, _DM(), workdir, seed=0)
 
 step = int(np.asarray(jax.device_get(state.step)))
+
+leaves = jax.tree_util.tree_leaves(state.params)
+sharded = [l for l in leaves if not l.is_fully_replicated]
+if strategy == "fsdp":
+    # the whole point of the fsdp variant: some leaves must REALLY be
+    # sharded across the 2 processes, or put_like/gather_host were
+    # exercised on replicated arrays only
+    assert sharded, "fsdp sharded no parameter leaves"
+
+if sharded:
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    _gather = jax.jit(
+        lambda x: x, out_shardings=NamedSharding(sharded[0].sharding.mesh, P())
+    )
+    host_leaves = [np.asarray(jax.device_get(_gather(l))) for l in leaves]
+else:
+    host_leaves = [np.asarray(jax.device_get(l)) for l in leaves]
+
 report = {
     "pid": pid,
     "rank_zero": bool(is_rank_zero()),
     "step": step,
+    "n_sharded_leaves": len(sharded),
     "has_hparams": (workdir / "hparams.yaml").exists(),
     "ckpt_steps": sorted(
         p.name for p in (workdir / "checkpoints").glob("*") if p.is_dir()
     ),
-    "param_sum": float(
-        sum(
-            np.abs(np.asarray(jax.device_get(l))).sum()
-            for l in jax.tree_util.tree_leaves(state.params)
-        )
-    ),
+    "param_sum": float(sum(np.abs(h).sum() for h in host_leaves)),
 }
 with open(out_dir / f"fit_p{pid}.json", "w") as f:
     json.dump(report, f)

@@ -70,3 +70,18 @@ def test_split_directory(tmp_path):
 def test_import_name():
     fn = import_name("diffsep_tpu.utils.solve_psd_loaded")
     assert fn is solve_psd_loaded
+
+
+def test_str2bool():
+    # shared by separate/evaluate/evaluate_mp --denoise (type=bool is a
+    # trap: bool("false") is True)
+    import pytest
+
+    from diffsep_tpu.cli.eval_common import str2bool
+
+    for v in ("1", "true", "True", "t", "yes", "y", True):
+        assert str2bool(v) is True
+    for v in ("0", "false", "False", "f", "no", "n", False):
+        assert str2bool(v) is False
+    with pytest.raises(ValueError):
+        str2bool("maybe")
