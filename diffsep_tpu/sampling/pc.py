@@ -122,21 +122,32 @@ def pc_sample(
     ts_next = jnp.concatenate([ts[1:], ts[-1:]])
     native_dt = schedule is None
 
+    # multistep predictors (e.g. "dpmpp") carry history across steps; the
+    # state rides in the scan carry so the whole process stays ONE program
+    stateful = getattr(predictor, "has_state", False)
+
     def step(carry, inp):
-        x, _ = carry
+        x, _, pstate = carry
         t_scalar, t_next_scalar, dt, k = inp
         kc, kp = jax.random.split(k)
         t = jnp.full((y.shape[0],), t_scalar, x.dtype)
         t_next = jnp.full((y.shape[0],), t_next_scalar, x.dtype)
         x, x_mean = corrector.update(kc, x, t, y)
-        x, x_mean = predictor.update(
-            kp, x, t, y, dt=None if native_dt else dt, t_next=t_next
-        )
+        if stateful:
+            x, x_mean, pstate = predictor.update(
+                kp, x, t, y, dt=None if native_dt else dt, t_next=t_next,
+                state=pstate,
+            )
+        else:
+            x, x_mean = predictor.update(
+                kp, x, t, y, dt=None if native_dt else dt, t_next=t_next
+            )
         out = jnp.stack([x, x_mean]) if intermediate else None
-        return (x, x_mean), out
+        return (x, x_mean, pstate), out
 
     keys = jax.random.split(key, sde.N)
-    (x, x_mean), ims = jax.lax.scan(step, (x0, x0), (ts, ts_next, dts, keys))
+    init = (x0, x0, predictor.init_state(x0) if stateful else 0)
+    (x, x_mean, _), ims = jax.lax.scan(step, init, (ts, ts_next, dts, keys))
     result = x_mean if denoise else x
     nfe = sde.N * (corrector.n_steps + 1)
     if intermediate:

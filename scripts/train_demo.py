@@ -116,6 +116,20 @@ def main():
     )
     si_sdr_fast = float(metric(jnp.asarray(sync(est_fast)), jnp.asarray(tgt_te)))
 
+    # low-NFE sampler sweep: first-order exact-transition (ddim) vs the
+    # second-order multistep (dpmpp) at the same NN-eval budgets — the
+    # learned-score counterpart of tests/test_sampling.py's analytic check
+    sweep = {}
+    for pred in ("ddim", "dpmpp"):
+        for n_steps in (4, 6, 8):
+            est_s, _ = model.separate(
+                state.ema.params, jax.random.PRNGKey(7), jnp.asarray(mix_te),
+                predictor_name=pred, corrector_name="none", N=n_steps,
+            )
+            sweep[f"si_sdr_{pred}_n{n_steps}_db"] = round(
+                float(metric(jnp.asarray(sync(est_s)), jnp.asarray(tgt_te))), 2
+            )
+
     floor = float(
         metric(jnp.broadcast_to(jnp.asarray(mix_te), tgt_te.shape), jnp.asarray(tgt_te))
     )
@@ -131,6 +145,7 @@ def main():
         "si_sdr_separated_db": round(si_sdr_est, 2),
         "si_sdr_ddim_n6_db": round(si_sdr_fast, 2),
         "improvement_db": round(si_sdr_est - floor, 2),
+        **sweep,
     }
     print(json.dumps(result), flush=True)
     with open(args.out, "w") as f:

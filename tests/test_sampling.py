@@ -260,6 +260,100 @@ def test_scheduled_linear_close_to_plain():
     assert err < 0.1, err
 
 
+def test_dpmpp_reduces_to_ddim_on_pointmass_score():
+    """With a point-mass data distribution the data prediction x0_hat is
+    constant across steps, the second-order extrapolation vanishes, and
+    dpmpp must equal ddim EXACTLY step for step."""
+    n = 128
+    s1 = np.sin(2 * np.pi * 3 * np.arange(n) / n)
+    s2 = 0.7 * np.cos(2 * np.pi * 6 * np.arange(n) / n)
+    x0 = jnp.asarray(np.stack([s1, s2])[None].astype(np.float32))
+    mix = x0.sum(axis=1, keepdims=True)
+    sde = MixSDE(ndim=2, N=6)
+    score = analytic_score(sde, x0)
+    x_ddim, _ = pc_sample(
+        jax.random.PRNGKey(0), sde, score, mix,
+        predictor_name="ddim", corrector_name="none",
+    )
+    x_dpm, _ = pc_sample(
+        jax.random.PRNGKey(0), sde, score, mix,
+        predictor_name="dpmpp", corrector_name="none",
+    )
+    np.testing.assert_allclose(
+        np.asarray(x_dpm), np.asarray(x_ddim), atol=2e-5
+    )
+    assert float(jnp.abs(x_dpm - x0).mean()) < 1e-3
+
+
+def _gaussian_diff_score(sde, mu0, tau):
+    """Analytic score for x0 = mu0 + tau * Pn w (randomness only in the
+    difference channel, so the observed mixture stays consistent):
+    Cov_t = ev1 A + (tau^2 e^{-2 d_lambda t} + ev2) Pn."""
+    from diffsep_tpu.sde.mixsde import mix_mats
+
+    def score(x, t, cond):
+        A, Pn = mix_mats(sde.ndim, x.dtype)
+        ev1, ev2 = sde._cov_eigval(t)
+        v2 = tau**2 * jnp.exp(-2.0 * sde.d_lambda * t) + ev2
+        Cinv = (1.0 / ev1)[:, None, None] * A + (1.0 / v2)[:, None, None] * Pn
+        return -(Cinv @ (x - sde.apply_mean(t, mu0)))
+
+    return score
+
+
+def test_dpmpp_beats_ddim_at_low_nfe():
+    """With a score whose data prediction MOVES across steps (Gaussian
+    data in the difference channel), the multistep dpmpp predictor at
+    N=4 lands closer to the fine-grid deterministic limit than ddim at
+    N=4 — the point of the second-order extrapolation."""
+    n = 64
+    s1 = np.sin(2 * np.pi * 4 * np.arange(n) / n)
+    s2 = 0.6 * np.cos(2 * np.pi * 7 * np.arange(n) / n)
+    mu0 = jnp.asarray(np.stack([s1, s2])[None].astype(np.float32))
+    mix = mu0.sum(axis=1, keepdims=True)
+    tau = 0.5
+    key = jax.random.PRNGKey(2)
+
+    def run(pred, N):
+        sde = MixSDE(ndim=2, N=N)
+        x, _ = pc_sample(
+            key, sde, _gaussian_diff_score(sde, mu0, tau), mix,
+            predictor_name=pred, corrector_name="none",
+        )
+        return np.asarray(x)
+
+    ref = run("ddim", 1024)
+    # both integrators converge to the same deterministic flow (ddim is
+    # first-order, so the shared limit is approached slowly from its side)
+    assert np.abs(run("dpmpp", 16) - ref).mean() < 5e-3
+    e_ddim = np.abs(run("ddim", 4) - ref).mean()
+    e_dpm = np.abs(run("dpmpp", 4) - ref).mean()
+    # measured on CPU: 0.091 vs 0.0048 — ~19x; assert a conservative 3x
+    assert e_dpm < e_ddim / 3.0, (e_dpm, e_ddim)
+
+
+def test_dpmpp_priormix():
+    """dpmpp works on PriorMixSDE (the power envelope shifts both
+    per-channel log-SNRs by a constant, which cancels in differences)."""
+    from diffsep_tpu.sde import PriorMixSDE
+
+    rng = np.random.default_rng(0)
+    sde = PriorMixSDE(ndim=2, N=4, avg_len=16)
+    x0 = jnp.asarray(rng.standard_normal((1, 2, 64)).astype(np.float32))
+    mix = x0.sum(axis=1, keepdims=True)
+
+    def score(x, t, cond):
+        mean, L = sde.marginal_prob(x0, t, cond)
+        return -sde.mult_std_inv(L, sde.mult_std_inv(L, x - mean))
+
+    x, _ = pc_sample(
+        jax.random.PRNGKey(1), sde, score, mix,
+        predictor_name="dpmpp", corrector_name="none",
+    )
+    err = float(jnp.abs(x - x0).mean())
+    assert err < 1e-2, err
+
+
 def test_fibonaccispace():
     t = np.asarray(fibonaccispace(0.0, 1.0, 8))
     assert t.shape == (8,)

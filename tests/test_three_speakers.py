@@ -43,6 +43,39 @@ def test_pit_losses_three_speakers(rng):
     assert loss.shape == (2,) and np.isfinite(np.asarray(loss)).all()
 
 
+def test_exact_transition_samplers_three_speakers(rng):
+    """ddim and dpmpp rely only on the {A, Pn} projector eigenstructure,
+    which holds for any ndim — both must recover 3 sources from the
+    analytic score."""
+    from diffsep_tpu.sampling import pc_sample
+
+    n = 96
+    k = np.arange(n)
+    x0 = jnp.asarray(
+        np.stack(
+            [
+                np.sin(2 * np.pi * 3 * k / n),
+                0.7 * np.cos(2 * np.pi * 6 * k / n),
+                0.5 * np.sin(2 * np.pi * 9 * k / n),
+            ]
+        )[None].astype(np.float32)
+    )
+    mix = x0.sum(axis=1, keepdims=True)
+    sde = MixSDE(ndim=3, N=6)
+
+    def score(x, t, cond):
+        mean, L = sde.marginal_prob(x0, t, cond)
+        return -sde.mult_std_inv(L, sde.mult_std_inv(L, x - mean))
+
+    for pred in ("ddim", "dpmpp"):
+        x, _ = pc_sample(
+            jax.random.PRNGKey(0), sde, score, mix,
+            predictor_name=pred, corrector_name="none",
+        )
+        err = float(jnp.abs(x - x0).mean())
+        assert err < 1e-2, (pred, err)
+
+
 def test_three_speaker_model_end_to_end(rng):
     cfg = compose(
         [
