@@ -123,11 +123,16 @@ def pc_sample(
     native_dt = schedule is None
 
     # multistep predictors (e.g. "dpmpp") carry history across steps; the
-    # state rides in the scan carry so the whole process stays ONE program
+    # state rides in the scan carry so the whole process stays ONE program.
+    # Stateless predictors keep the original 2-tuple carry — same HLO as
+    # before multistep existed, so their compile-cache entries stay warm.
     stateful = getattr(predictor, "has_state", False)
 
     def step(carry, inp):
-        x, _, pstate = carry
+        if stateful:
+            x, _, pstate = carry
+        else:
+            x, _ = carry
         t_scalar, t_next_scalar, dt, k = inp
         kc, kp = jax.random.split(k)
         t = jnp.full((y.shape[0],), t_scalar, x.dtype)
@@ -143,11 +148,13 @@ def pc_sample(
                 kp, x, t, y, dt=None if native_dt else dt, t_next=t_next
             )
         out = jnp.stack([x, x_mean]) if intermediate else None
-        return (x, x_mean, pstate), out
+        carry = (x, x_mean, pstate) if stateful else (x, x_mean)
+        return carry, out
 
     keys = jax.random.split(key, sde.N)
-    init = (x0, x0, predictor.init_state(x0) if stateful else 0)
-    (x, x_mean, _), ims = jax.lax.scan(step, init, (ts, ts_next, dts, keys))
+    init = (x0, x0, predictor.init_state(x0)) if stateful else (x0, x0)
+    carry, ims = jax.lax.scan(step, init, (ts, ts_next, dts, keys))
+    x, x_mean = carry[0], carry[1]
     result = x_mean if denoise else x
     nfe = sde.N * (corrector.n_steps + 1)
     if intermediate:

@@ -17,6 +17,7 @@ reference relies on (SURVEY.md §2.6, §5):
 from __future__ import annotations
 
 import logging
+import signal
 import time
 from pathlib import Path
 from typing import Optional
@@ -38,6 +39,47 @@ except ImportError:  # pragma: no cover
     SummaryWriter = None
 
 log_validate = logging.getLogger(__name__)
+
+# --- graceful preemption (TPU VMs get SIGTERM with a short grace period;
+# the reference gets the equivalent from Lightning's SIGTERM handling) ---
+_PREEMPT = {"flag": False}
+
+
+def _on_preempt_signal(signum, frame):
+    _PREEMPT["flag"] = True
+    log_validate.warning(
+        "received signal %d: checkpointing and stopping at the next step "
+        "boundary", signum,
+    )
+
+
+def _install_preempt_handler():
+    """Install the SIGTERM handler; returns a restore callable (no-op when
+    not on the main thread, where signal.signal is unavailable)."""
+    _PREEMPT["flag"] = False
+    try:
+        prev = signal.signal(signal.SIGTERM, _on_preempt_signal)
+    except ValueError:  # not the main thread
+        return lambda: None
+    return lambda: signal.signal(signal.SIGTERM, prev)
+
+
+def _preempt_agreed(step: int, sync_every: int) -> bool:
+    """Whether training should stop for preemption. Multi-process runs
+    must AGREE before the collective checkpoint save (the signal usually
+    lands on one host only — acting alone would deadlock orbax's save
+    barrier), so the local flag is all-gathered at a fixed step cadence;
+    every process calls the collective at the same steps."""
+    if jax.process_count() == 1:
+        return _PREEMPT["flag"]
+    if step % sync_every != 0:
+        return False
+    from jax.experimental import multihost_utils
+
+    flags = multihost_utils.process_allgather(
+        np.asarray([_PREEMPT["flag"]], np.int32)
+    )
+    return bool(np.any(flags))
 
 
 def batch_multiple(n_devices: int = 1, layout: int = 8, max_waste: float = 1.0):
@@ -272,6 +314,14 @@ def fit(
     step = int(jax.device_get(state.step))
     t_start = time.perf_counter()
     stop = False
+    preempted = False
+    # trainer.preempt_save (default on): SIGTERM triggers an immediate
+    # checkpoint + clean exit instead of losing up to a whole epoch;
+    # resume with trainer.resume_from_checkpoint=latest. The cross-process
+    # agreement collective runs every preempt_sync_every steps.
+    preempt_save = bool(cfg_trainer.get("preempt_save", True))
+    preempt_sync_every = max(int(cfg_trainer.get("preempt_sync_every", 25)), 1)
+    restore_handler = _install_preempt_handler() if preempt_save else lambda: None
 
     # multi-process: each process pads its LOCAL loader shard; the global
     # batch (local x n_processes) is then divisible by the global mesh
@@ -304,8 +354,21 @@ def fit(
             if max_steps is not None and step >= max_steps:
                 stop = True
                 break
+            if preempt_save and _preempt_agreed(step, preempt_sync_every):
+                stop = preempted = True
+                break
 
-        if (epoch + 1) % check_val_every_n_epoch == 0 or stop:
+        if preempted:
+            # save NOW and skip validation — the preemption grace period is
+            # short; the checkpoint carries no metrics so it never becomes
+            # best-model, only the resume point
+            ckpt.save(
+                step,
+                gather_host(state) if fsdp_multihost else jax.device_get(state),
+                {},
+            )
+            log_validate.warning("preemption checkpoint saved at step %d", step)
+        elif (epoch + 1) % check_val_every_n_epoch == 0 or stop:
             if fsdp_multihost:
                 # validate only touches the EMA weights; keep the rest of
                 # the state sharded
@@ -333,6 +396,7 @@ def fit(
         if stop:
             break
 
+    restore_handler()
     if profiling:
         jax.profiler.stop_trace()
     logger.close()

@@ -4,6 +4,7 @@ the full config -> model -> SDE -> sampler -> audio I/O path on CPU.
 """
 import json
 import os
+import time
 from pathlib import Path
 
 import numpy as np
@@ -302,6 +303,70 @@ def test_resume_from_checkpoint_cli(trained_run_dir, wsj0_tree, tmp_path):
             max_epochs=1, max_steps=3, n_devices=1,
             resume=str(tmp_path / "nope"),
         )
+
+
+def test_preemption_checkpoint_and_resume(trained_run_dir, wsj0_tree, tmp_path):
+    """SIGTERM mid-fit triggers an immediate checkpoint + clean return
+    (trainer.preempt_save, on by default) — the TPU-pod preemption story:
+    the reference gets the equivalent from Lightning's SIGTERM teardown.
+    The saved step then restores via resume=latest."""
+    import signal
+    import threading
+    import yaml
+
+    import diffsep_tpu.train.loop as loop_mod
+    from diffsep_tpu.cli.loading import _config_from_hparams
+    from diffsep_tpu.data.datamodule import WSJ0_mix_Module
+    from diffsep_tpu.model import DiffSepModel
+    from diffsep_tpu.train.loop import fit
+
+    with open(trained_run_dir / "hparams.yaml") as f:
+        cfg = _config_from_hparams(yaml.safe_load(f))
+    model = DiffSepModel(cfg)
+    dm = WSJ0_mix_Module(cfg, pad_to_multiple=int(cfg.model.fs))
+    workdir = tmp_path / "preempt_run"
+    prior_handler = signal.getsignal(signal.SIGTERM)
+
+    def killer():
+        # deterministic: wait until fit() has installed its handler, let a
+        # few steps run, then deliver the signal to our own process
+        for _ in range(2400):  # <= 2 min, way past any compile stall
+            if signal.getsignal(signal.SIGTERM) is loop_mod._on_preempt_signal:
+                break
+            time.sleep(0.05)
+        time.sleep(0.5)
+        os.kill(os.getpid(), signal.SIGTERM)
+
+    t = threading.Thread(target=killer, daemon=True)
+    t.start()
+    budget = 2000  # backstop only — preemption must stop the run long before
+    state = fit(
+        model, dm, workdir,
+        max_epochs=budget, max_steps=budget,
+        check_val_every_n_epoch=10**6,  # no epoch-boundary saves
+        n_devices=1,
+    )
+    t.join(timeout=60)
+    saved_step = int(state.step)
+    assert 0 < saved_step < budget, saved_step
+    # the ONLY checkpoint is the preemption save, at the step fit returned
+    steps = sorted(
+        int(p.name) for p in (workdir / "checkpoints").iterdir()
+        if p.name.isdigit()
+    )
+    assert steps == [saved_step], (steps, saved_step)
+    # no metrics -> the preemption checkpoint must never become best-model
+    assert not (workdir / "checkpoints" / "best-model").exists()
+    # fit restored the previous SIGTERM disposition on the way out
+    assert signal.getsignal(signal.SIGTERM) is prior_handler
+    # in-place restart, as a preempted-and-rescheduled job would run it
+    state2 = fit(
+        model, dm, workdir,
+        max_epochs=budget, max_steps=saved_step + 2,
+        check_val_every_n_epoch=10**6,
+        n_devices=1, resume="latest",
+    )
+    assert int(state2.step) == saved_step + 2
 
 
 def test_resume_from_checkpoint(trained_run_dir, wsj0_tree):
