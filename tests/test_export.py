@@ -1,0 +1,109 @@
+"""Serving-artifact export (diffsep_tpu/export.py): the whole separation
+program — weights baked in — roundtrips through jax.export serialization
+and reproduces model.separate bit-for-bit on the same platform."""
+import json
+import struct
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import yaml
+
+
+# pull the e2e fixtures into this module's namespace (fresh module-scoped
+# instances: trains the 2-step tiny run once for this file)
+from test_e2e import trained_run_dir, wsj0_tree  # noqa: E402,F401
+
+
+@pytest.fixture(scope="module")
+def tiny_model(trained_run_dir):
+    # reuse the e2e-trained tiny run so weights are real, not random-init
+    from diffsep_tpu.cli.loading import load_model
+
+    model, params = load_model(trained_run_dir)
+    return model, params, trained_run_dir
+
+
+def _mix(batch, n):
+    rng = np.random.default_rng(0)
+    return rng.standard_normal((batch, 1, n)).astype(np.float32) * 0.1
+
+
+def test_export_roundtrip_matches_separate(tiny_model, tmp_path):
+    from diffsep_tpu.export import export_separator, load_separator
+
+    model, params, _ = tiny_model
+    batch, n = 2, 4000
+    out = tmp_path / "tiny.dsx"
+    export_separator(
+        model, params, batch, n, out_path=out, N=2,
+        predictor_name="reverse_diffusion", corrector_name="ald2",
+    )
+    sep = load_separator(out)
+    assert sep.meta["n_speakers"] == 2
+    assert sep.meta["sampler"]["N"] == 2
+    assert sep.batch == batch and sep.n_samples == n
+
+    mix = _mix(batch, n)
+    got = np.asarray(sep.call(7, mix))
+    assert got.shape == (batch, 2, n)
+    want, _ = model.separate(
+        params, jax.random.PRNGKey(7), jnp.asarray(mix), N=2,
+        predictor_name="reverse_diffusion", corrector_name="ald2",
+    )
+    np.testing.assert_allclose(got, np.asarray(want), atol=1e-5, rtol=1e-5)
+
+
+def test_export_seed_determinism_and_shape_contract(tiny_model, tmp_path):
+    from diffsep_tpu.export import export_separator, load_separator
+
+    model, params, _ = tiny_model
+    blob = export_separator(model, params, 1, 4000, N=2)
+    sep = load_separator(blob)  # raw bytes load path
+    mix = _mix(1, 4000)
+    a = np.asarray(sep.call(3, mix))
+    b = np.asarray(sep.call(3, mix))
+    c = np.asarray(sep.call(4, mix))
+    np.testing.assert_array_equal(a, b)  # same seed -> identical output
+    assert np.abs(a - c).max() > 0  # different seed -> different sample
+    with pytest.raises(ValueError, match="static serving contract"):
+        sep.call(0, _mix(2, 4000))
+    with pytest.raises(ValueError, match="static serving contract"):
+        sep.call(0, _mix(1, 3999))
+
+
+def test_export_rejects_garbage(tmp_path):
+    from diffsep_tpu.export import load_separator, _MAGIC
+
+    p = tmp_path / "bad.dsx"
+    p.write_bytes(b"not an artifact")
+    with pytest.raises(ValueError, match="bad magic"):
+        load_separator(p)
+    meta = json.dumps({"spec_version": 99}).encode()
+    p.write_bytes(_MAGIC + struct.pack("<I", len(meta)) + meta + b"x")
+    with pytest.raises(ValueError, match="spec_version"):
+        load_separator(p)
+
+
+def test_export_cli(tiny_model, tmp_path):
+    from diffsep_tpu.cli.export_model import main
+    from diffsep_tpu.export import load_separator
+
+    _, _, run_dir = tiny_model
+    out = tmp_path / "cli.dsx"
+    main(
+        [
+            str(run_dir), "-o", str(out),
+            "--batch", "1", "--len-s", "0.5",
+            "-N", "2", "--predictor", "dpmpp", "--corrector", "none",
+            "--platforms", "cpu",
+        ]
+    )
+    sep = load_separator(out)
+    fs = sep.meta["fs"]
+    assert sep.n_samples == fs // 2
+    est = np.asarray(sep.call(0, _mix(1, sep.n_samples)))
+    assert est.shape == (1, 2, sep.n_samples)
+    assert np.isfinite(est).all()
+    assert sep.meta["sampler"]["predictor_name"] == "dpmpp"
