@@ -70,35 +70,55 @@ def build():
     return model, params, mix, mix_all[:ddim_batch]
 
 
-def bench_fused(model, params, mix, n_iter=3):
+def _measure_windows(run_one, batch, n_windows, iters_per_window, label):
+    """Median throughput over independent timing windows. The 1-core host
+    suffers transient load spikes that only ever bias throughput DOWN
+    (measured: 10-20% spread for ~2 s DDIM runs, ~2% for 14 s N=30 runs);
+    the median of several windows discards those one-sided outliers
+    without cherry-picking a best case."""
+    vals = []
+    seed = 1
+    for _ in range(n_windows):
+        t0 = time.perf_counter()
+        for _ in range(iters_per_window):
+            run_one(seed)
+            seed += 1
+        dt = (time.perf_counter() - t0) / iters_per_window
+        vals.append(batch / dt)
+    log(f"{label} windows: " + " ".join(f"{v:.3f}" for v in vals))
+    return float(np.median(vals))
+
+
+def bench_fused(model, params, mix, n_windows=3):
     """TPU-native: whole PC reverse process in one jit'd scan, batched."""
     est, _ = model.separate(params, jax.random.PRNGKey(0), mix)
     sync(est)  # compile + first run
     log("fused: compiled")
-    t0 = time.perf_counter()
-    for i in range(n_iter):
-        est, _ = model.separate(params, jax.random.PRNGKey(i + 1), mix)
+
+    def run_one(seed):
+        est, _ = model.separate(params, jax.random.PRNGKey(seed), mix)
         sync(est)
-    dt = (time.perf_counter() - t0) / n_iter
-    return mix.shape[0] / dt
+
+    return _measure_windows(run_one, mix.shape[0], n_windows, 1, "fused")
 
 
-def bench_ddim(model, params, mix, n_iter=10):
+def bench_ddim(model, params, mix, n_windows=4, iters_per_window=4):
     """Beyond-parity fast path: exact-transition DDIM at N=6, no corrector
     (sampling/predictors.py). Tracked in the graded artifact so regressions
-    in either operating point get caught. n_iter is higher than the N=30
-    phase: each run is ~2 s, and 3-iter measurements showed +-10-20%
-    run-to-run spread on this chip."""
+    in either operating point get caught. Each run is only ~2 s, so the
+    windows are multi-iteration before taking the median."""
     kw = dict(predictor_name="ddim", corrector_name="none", N=6)
     est, _ = model.separate(params, jax.random.PRNGKey(0), mix, **kw)
     sync(est)  # compile + first run
     log("ddim: compiled")
-    t0 = time.perf_counter()
-    for i in range(n_iter):
-        est, _ = model.separate(params, jax.random.PRNGKey(i + 1), mix, **kw)
+
+    def run_one(seed):
+        est, _ = model.separate(params, jax.random.PRNGKey(seed), mix, **kw)
         sync(est)
-    dt = (time.perf_counter() - t0) / n_iter
-    return mix.shape[0] / dt
+
+    return _measure_windows(
+        run_one, mix.shape[0], n_windows, iters_per_window, "ddim"
+    )
 
 
 def bench_reference_style(model, params, mix):
