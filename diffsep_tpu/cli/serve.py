@@ -19,7 +19,12 @@ Serving properties:
   * `--warmup-s` compiles the common buckets at startup so the first
     request hits a warm cache;
   * the persistent compilation cache (~/.cache/diffsep_jax) makes warmup
-    itself fast after the first ever start.
+    itself fast after the first ever start;
+  * `--model model.dsx` serves a self-contained export artifact
+    (cli/export_model.py) instead of a live model: no config, checkpoint,
+    or model code needed on the serving host — one static-shape StableHLO
+    program whose per-row valid-length input handles variable request
+    lengths.
 """
 from __future__ import annotations
 
@@ -62,8 +67,79 @@ def _normalize_rows(mixes, padded):
     return rows, means, stds
 
 
-class SeparationEngine:
-    """Compile-once micro-batching separation engine."""
+class _EngineBase:
+    """Shared serving front half: request validation, length-bucket
+    grouping, micro-batching, output writing. Subclasses provide
+    `_run_bucket` (the compiled separation call) and set `fs`, `batch`,
+    `bucket`, and optionally `max_samples` (a static-shape contract —
+    longer requests get a per-file error instead of failing a batch)."""
+
+    max_samples: int | None = None
+
+    def process(self, paths, output_dir: Path):
+        """Separate `paths`, grouped by length bucket, micro-batched.
+        Yields (path, ok, message)."""
+        items = []
+        for p in paths:
+            p = Path(p)
+            try:
+                wav, sr = load_wav(p)
+                if sr != self.fs:
+                    yield p, False, f"sample rate {sr} != model {self.fs}"
+                    continue
+                wav = np.asarray(wav, np.float32)
+                # reject non-mono here: a (2, n) row would make np.stack in
+                # _run_bucket raise and fail the whole micro-batch, taking
+                # innocent co-batched mono files down with it
+                if wav.ndim != 2 or wav.shape[0] != 1:
+                    yield p, False, (
+                        f"expected mono (1, n), got shape {wav.shape}"
+                    )
+                    continue
+                if (
+                    self.max_samples is not None
+                    and wav.shape[-1] > self.max_samples
+                ):
+                    yield p, False, (
+                        f"{wav.shape[-1]} samples exceeds the artifact's "
+                        f"static contract ({self.max_samples}); chunk it "
+                        "(separate.py --stream-chunk-s) or export a longer "
+                        "artifact"
+                    )
+                    continue
+                items.append((p, wav))
+            except Exception as e:  # unreadable file must not kill serving
+                yield p, False, f"{type(e).__name__}: {e}"
+
+        groups = {}
+        for p, wav in items:
+            b = -(-wav.shape[-1] // self.bucket)
+            groups.setdefault(b, []).append((p, wav))
+
+        for _, group in sorted(groups.items()):
+            for off in range(0, len(group), self.batch):
+                chunk = group[off : off + self.batch]
+                t0 = time.perf_counter()
+                try:
+                    ests = self._run_bucket([w for _, w in chunk])
+                except Exception as e:
+                    for p, _ in chunk:
+                        yield p, False, f"{type(e).__name__}: {e}"
+                    continue
+                dt = time.perf_counter() - t0
+                for (p, _), est in zip(chunk, ests):
+                    try:  # output I/O errors must not kill serving either
+                        for src in range(est.shape[0]):
+                            out = output_dir / f"s{src}" / f"{p.stem}.wav"
+                            save_wav(out, est[src : src + 1], self.fs)
+                    except Exception as e:
+                        yield p, False, f"write failed: {type(e).__name__}: {e}"
+                        continue
+                    yield p, True, f"{dt / len(chunk):.3f}s"
+
+
+class SeparationEngine(_EngineBase):
+    """Compile-once micro-batching separation engine (live model)."""
 
     def __init__(self, model, params, batch: int = 4, bucket_s: float = 1.0,
                  seed: int = 0, sampler_kwargs=None,
@@ -121,58 +197,92 @@ class SeparationEngine:
             out.append(e[0])
         return out
 
-    def process(self, paths, output_dir: Path):
-        """Separate `paths`, grouped by length bucket, micro-batched.
-        Yields (path, ok, message)."""
-        items = []
-        for p in paths:
-            p = Path(p)
-            try:
-                wav, sr = load_wav(p)
-                if sr != self.fs:
-                    yield p, False, f"sample rate {sr} != model {self.fs}"
-                    continue
-                wav = np.asarray(wav, np.float32)
-                # reject non-mono here: a (2, n) row would make np.stack in
-                # _run_bucket raise and fail the whole micro-batch, taking
-                # innocent co-batched files down with it
-                if wav.ndim != 2 or wav.shape[0] != 1:
-                    yield p, False, (
-                        f"expected mono (1, n), got shape {wav.shape}"
-                    )
-                    continue
-                items.append((p, wav))
-            except Exception as e:  # unreadable file must not kill serving
-                yield p, False, f"{type(e).__name__}: {e}"
+class ArtifactEngine(_EngineBase):
+    """Serve from a self-contained export artifact (diffsep_tpu/export.py):
+    no config, checkpoint, or model code on the serving host — the whole
+    reverse process with weights baked in is one StableHLO call with a
+    STATIC (batch, n_samples) contract. Variable request lengths ride the
+    artifact's per-row `n_valid` input: rows are zero-padded here and the
+    program computes normalization stats over each true span only (the
+    same normalize-on-true-length rule as the live engine's host path)."""
 
-        groups = {}
-        for p, wav in items:
-            b = -(-wav.shape[-1] // self.bucket)
-            groups.setdefault(b, []).append((p, wav))
+    def __init__(self, sep, seed: int = 0):
+        self.sep = sep
+        self.fs = int(sep.meta["fs"])
+        self.batch = sep.batch
+        self.bucket = sep.n_samples  # single static length bucket
+        self.max_samples = sep.n_samples
+        self.seed = seed
+        self.n_req = 0
 
-        for _, group in sorted(groups.items()):
-            for off in range(0, len(group), self.batch):
-                chunk = group[off : off + self.batch]
-                t0 = time.perf_counter()
-                try:
-                    ests = self._run_bucket([w for _, w in chunk])
-                except Exception as e:
-                    for p, _ in chunk:
-                        yield p, False, f"{type(e).__name__}: {e}"
-                    continue
-                dt = time.perf_counter() - t0
-                for (p, _), est in zip(chunk, ests):
-                    try:  # output I/O errors must not kill serving either
-                        for src in range(est.shape[0]):
-                            out = output_dir / f"s{src}" / f"{p.stem}.wav"
-                            save_wav(out, est[src : src + 1], self.fs)
-                    except Exception as e:
-                        yield p, False, f"write failed: {type(e).__name__}: {e}"
-                        continue
-                    yield p, True, f"{dt / len(chunk):.3f}s"
+    def warmup(self, seconds=()) -> None:
+        """Compile/load the one static program (lengths are baked in)."""
+        self._run_bucket(
+            [np.zeros((1, self.max_samples), np.float32) + 1e-3]
+        )
+        log.info("warmup: compiled the artifact's static shape")
+
+    def _run_bucket(self, mixes):
+        lens = [m.shape[-1] for m in mixes]
+        n = self.sep.n_samples
+        real = len(mixes)
+        rows = [
+            np.pad(np.asarray(m, np.float32), ((0, 0), (0, n - m.shape[-1])))
+            for m in mixes
+        ]
+        n_valid = list(lens)
+        while len(rows) < self.batch:  # filler rows: full-length zeros
+            rows.append(np.zeros((1, n), np.float32))
+            n_valid.append(n)
+        self.n_req += 1
+        seed = (self.seed * 1_000_003 + self.n_req) & 0x7FFFFFFF
+        est = self.sep.call(
+            seed, np.stack(rows), np.asarray(n_valid, np.int32)
+        )
+        est = np.asarray(jax.device_get(est))
+        out = []
+        for j in range(real):
+            e = est[j : j + 1, :, : lens[j]]
+            e = scale_output(np.asarray(mixes[j])[None], e)
+            out.append(e[0])
+        return out
+
+
+def _is_artifact(path: Path) -> bool:
+    """Sniff the export-artifact magic so --model accepts either a
+    checkpoint flavor or a .dsx file regardless of its name."""
+    try:
+        with open(path, "rb") as f:
+            from ..export import _MAGIC
+
+            return f.read(len(_MAGIC)) == _MAGIC
+    except (OSError, IsADirectoryError):
+        return False
 
 
 def _engine_from_args(args):
+    if _is_artifact(args.model):
+        baked = {
+            "-N": args.N, "--snr": args.snr,
+            "--corrector-steps": args.corrector_steps,
+            "--predictor": args.predictor, "--corrector": args.corrector,
+        }
+        set_flags = [k for k, v in baked.items() if v is not None]
+        if set_flags:
+            raise SystemExit(
+                f"{', '.join(set_flags)}: sampler settings are baked into "
+                "the artifact at export time (cli/export_model.py); "
+                "re-export to change them"
+            )
+        from ..export import load_separator
+
+        eng = ArtifactEngine(load_separator(args.model), seed=args.seed)
+        log.info(
+            "artifact engine: batch=%d n_samples=%d fs=%d (--batch/"
+            "--bucket-s ignored; the artifact's static contract rules)",
+            eng.batch, eng.max_samples, eng.fs,
+        )
+        return eng
     model, params = load_model(resolve_model_path(args.model))
     kw = {}
     if args.N is not None:
@@ -184,7 +294,8 @@ def _engine_from_args(args):
     return SeparationEngine(
         model, params, batch=args.batch, bucket_s=args.bucket_s,
         seed=args.seed, sampler_kwargs=kw,
-        predictor=args.predictor, corrector=args.corrector,
+        predictor=args.predictor or "reverse_diffusion",
+        corrector=args.corrector or "ald2",
     )
 
 
@@ -194,7 +305,10 @@ def main(argv=None):
         "or --watch drop-folder mode"
     )
     parser.add_argument("output_dir", type=Path)
-    parser.add_argument("--model", type=Path, default=Path("fakufaku/diffsep"))
+    parser.add_argument("--model", type=Path, default=Path("fakufaku/diffsep"),
+                        help="run dir / step dir / .ckpt, or an export "
+                        "artifact (cli/export_model.py) for model-code-free "
+                        "serving")
     parser.add_argument("--watch", type=Path, default=None,
                         help="Poll this directory for new wav files")
     parser.add_argument("--poll-s", type=float, default=1.0)
@@ -207,8 +321,10 @@ def main(argv=None):
     parser.add_argument("-N", type=int, default=None)
     parser.add_argument("--snr", type=float, default=None)
     parser.add_argument("--corrector-steps", type=int, default=None)
-    parser.add_argument("--predictor", type=str, default="reverse_diffusion")
-    parser.add_argument("--corrector", type=str, default="ald2")
+    parser.add_argument("--predictor", type=str, default=None,
+                        help="default: reverse_diffusion (live model only)")
+    parser.add_argument("--corrector", type=str, default=None,
+                        help="default: ald2 (live model only)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--once", action="store_true",
                         help="watch mode: process what is there, then exit "

@@ -78,7 +78,11 @@ def _jit_pc_sample(
 from .config import instantiate
 from .models.score_model import ScoreModelNCSNpp
 from .sampling.pc import ode_sample, pc_sample
-from .train.losses import denormalize_batch, normalize_batch
+from .train.losses import (
+    denormalize_batch,
+    normalize_batch,
+    normalize_batch_masked,
+)
 from .train.trainer import (
     LossConfig,
     OptimConfig,
@@ -271,6 +275,31 @@ class DiffSepModel:
         (mix_n, _), mean, std = normalize_batch(mix, None)
         est, nfe = _jit_pc_sample(self, params, key, mix_n, **kw)
         return denormalize_batch(est, mean, std), nfe
+
+    def separate_masked(self, params, key, mix, n_valid, **kwargs):
+        """separate() for zero-padded batches: normalization statistics come
+        from each row's true span ``[:, :n_valid[b]]`` only and the pad
+        region of the estimate is zeroed. This is the static-shape serving
+        path (one compiled program / one exported artifact serves any
+        request length <= n_samples); padding BEFORE plain separate() would
+        fold the zero tail into the stats and feed the network an
+        off-distribution input — and since (x-mean)/std is affine-invariant
+        the caller cannot compensate from outside the program."""
+        kw = dict(
+            predictor_name="reverse_diffusion",
+            corrector_name="ald2",
+            eps=self.t_eps,
+        )
+        kw.update(self.sampler_kwargs)
+        kw.update(kwargs)
+        n_valid = jnp.asarray(n_valid, jnp.int32)
+        mix_n, mean, std = normalize_batch_masked(mix, n_valid)
+        est, nfe = _jit_pc_sample(self, params, key, mix_n, **kw)
+        mask = (
+            jnp.arange(mix.shape[-1])[None, None, :]
+            < n_valid[:, None, None]
+        ).astype(est.dtype)
+        return denormalize_batch(est, mean, std) * mask, nfe
 
     def get_pc_sampler(
         self,

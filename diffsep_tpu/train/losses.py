@@ -64,6 +64,28 @@ def denormalize_batch(x: Array, mean: Array, std: Array) -> Array:
     return x * std + mean
 
 
+def normalize_batch_masked(mix: Array, n_valid: Array):
+    """normalize_batch for zero-padded rows: each row's mean/std come from
+    its true span ``[:, :n_valid[b]]`` only, and the pad region of the
+    output is forced to exactly 0 — the in-graph equivalent of the serving
+    rule "normalize on true length, THEN pad"
+    (cli/serve.py:_normalize_rows; reference separate.py:132-135 normalizes
+    the unpadded signal). Same Bessel ddof=1 std and 1e-5 clamp as
+    normalize_batch; with n_valid == n_samples it reduces to it exactly.
+
+    n_valid: int array (batch,) of valid sample counts per row.
+    """
+    idx = jnp.arange(mix.shape[-1])
+    mask = (idx[None, None, :] < n_valid[:, None, None]).astype(mix.dtype)
+    n = n_valid.astype(mix.dtype).reshape(-1, 1, 1) * mix.shape[1]
+    mean = (mix * mask).sum(axis=(1, 2), keepdims=True) / n
+    var = ((mix - mean) ** 2 * mask).sum(axis=(1, 2), keepdims=True) / (
+        jnp.maximum(n - 1.0, 1.0)
+    )
+    std = jnp.clip(jnp.sqrt(var), 1e-5)
+    return ((mix - mean) / std) * mask, mean, std
+
+
 def shuffle_sources(key: jax.Array, x: Array) -> Array:
     """Independent random source permutation per batch entry
     (pl_model.py:28-46)."""

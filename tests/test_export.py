@@ -107,3 +107,49 @@ def test_export_cli(tiny_model, tmp_path):
     assert est.shape == (1, 2, sep.n_samples)
     assert np.isfinite(est).all()
     assert sep.meta["sampler"]["predictor_name"] == "dpmpp"
+
+
+def test_separate_masked_full_length_equals_separate(tiny_model):
+    from diffsep_tpu.model import DiffSepModel  # noqa: F401  (import check)
+
+    model, params, _ = tiny_model
+    mix = jnp.asarray(_mix(2, 4000))
+    kw = dict(N=2, predictor_name="reverse_diffusion", corrector_name="ald2")
+    want, _ = model.separate(params, jax.random.PRNGKey(5), mix, **kw)
+    got, _ = model.separate_masked(
+        params, jax.random.PRNGKey(5), mix, jnp.full((2,), 4000), **kw
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5
+    )
+
+
+def test_export_variable_length_rows(tiny_model, tmp_path):
+    """spec_version 2: the artifact's per-row n_valid input serves padded
+    rows with true-span normalization — output matches separate_masked and
+    the pad region is exactly zero."""
+    from diffsep_tpu.export import export_separator, load_separator
+
+    model, params, _ = tiny_model
+    batch, n, n_true = 2, 4000, 2500
+    blob = export_separator(model, params, batch, n, N=2)
+    sep = load_separator(blob)
+    assert sep.meta["spec_version"] == 2
+
+    mix = _mix(batch, n)
+    mix[1, :, n_true:] = 0.0  # row 1 is a padded shorter request
+    n_valid = np.array([n, n_true], np.int32)
+    got = np.asarray(sep.call(11, mix, n_valid))
+    want, _ = model.separate_masked(
+        params, jax.random.PRNGKey(11), jnp.asarray(mix),
+        jnp.asarray(n_valid), N=2,
+    )
+    np.testing.assert_allclose(got, np.asarray(want), atol=1e-5, rtol=1e-5)
+    assert np.all(got[1, :, n_true:] == 0)  # pad region zeroed
+    assert np.abs(got[1, :, :n_true]).max() > 0
+
+    # n_valid defaults to full length; wrong shape is rejected
+    full = np.asarray(sep.call(3, _mix(batch, n)))
+    assert full.shape == (batch, 2, n)
+    with pytest.raises(ValueError, match="n_valid"):
+        sep.call(0, _mix(batch, n), np.array([n], np.int32))

@@ -398,3 +398,48 @@ def test_streaming_real_model_long_file(tiny_run, tmp_path):
         wav, sr = load_wav(outdir / s / "long.wav")
         assert sr == 8000 and wav.shape == (1, n)
         assert np.isfinite(wav).all()
+
+
+def test_serve_from_artifact(tiny_run, tmp_path, capsys):
+    """--model model.dsx serves the export artifact (no live model): a
+    shorter request is padded and served through the artifact's n_valid
+    input, a request longer than the static contract gets its own ERROR,
+    and sampler flags are rejected (they are baked at export time)."""
+    import pytest as _pytest
+
+    from diffsep_tpu.cli.export_model import main as export_main
+    from diffsep_tpu.cli.serve import main as serve_main
+
+    root, run_dir = tiny_run
+    art = tmp_path / "tiny.dsx"
+    export_main(
+        [
+            str(run_dir), "-o", str(art), "--batch", "2",
+            "--len-s", "0.25", "-N", "2", "--platforms", "cpu",
+        ]
+    )  # static contract: batch 2, 2000 samples @ 8 kHz
+
+    watch = tmp_path / "inbox"
+    watch.mkdir()
+    rng = np.random.default_rng(9)
+    save_wav(watch / "short.wav",
+             rng.standard_normal((1, 1600)).astype(np.float32) * 0.1, 8000)
+    save_wav(watch / "long.wav",
+             rng.standard_normal((1, 4000)).astype(np.float32) * 0.1, 8000)
+    out = tmp_path / "served"
+    serve_main(
+        [str(out), "--model", str(art), "--watch", str(watch), "--once"]
+    )
+    lines = capsys.readouterr().out.splitlines()
+    assert any(l.startswith("DONE") and "short" in l for l in lines)
+    long_err = [l for l in lines if l.startswith("ERROR") and "long" in l]
+    assert len(long_err) == 1 and "static contract" in long_err[0]
+    for s in ["s0", "s1"]:
+        wav, sr = load_wav(out / s / "short.wav")
+        assert sr == 8000 and wav.shape == (1, 1600)
+        assert np.isfinite(wav).all()
+        assert not (out / s / "long.wav").exists()
+
+    with _pytest.raises(SystemExit, match="baked into"):
+        serve_main([str(out), "--model", str(art), "-N", "4", "--once",
+                    "--watch", str(watch)])

@@ -253,3 +253,50 @@ def test_pad_batch_for_tpu():
     # already-aligned batches pass through untouched
     m2, t2, w2 = pad_batch_for_tpu(mix[:4], tgt[:4], multiple=4)
     assert m2.shape[0] == 4 and (w2 == 1).all()
+
+
+def test_normalize_batch_masked_full_length_reduces_to_unmasked():
+    rng = np.random.default_rng(5)
+    mix = jnp.asarray(rng.standard_normal((3, 1, 64)).astype(np.float32))
+    n_valid = jnp.full((3,), 64, jnp.int32)
+    got, mean_m, std_m = TL.normalize_batch_masked(mix, n_valid)
+    (want, _), mean, std = TL.normalize_batch(mix, None)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(mean_m), np.asarray(mean), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(std_m), np.asarray(std), atol=1e-7)
+
+
+def test_normalize_batch_masked_matches_serve_host_rule():
+    """Masked stats over the true span must equal the serving host path:
+    normalize each row on its unpadded length, THEN zero-pad
+    (cli/serve.py:_normalize_rows) — per-row, with mixed lengths."""
+    from diffsep_tpu.cli.serve import _normalize_rows
+
+    rng = np.random.default_rng(6)
+    lens = [40, 64, 17]
+    padded = 64
+    wavs = [
+        (rng.standard_normal((1, L)) * 0.1 + 0.03).astype(np.float32)
+        for L in lens
+    ]
+    rows, means, stds = _normalize_rows(wavs, padded)
+    mix = jnp.asarray(
+        np.stack(
+            [np.pad(w, ((0, 0), (0, padded - w.shape[-1]))) for w in wavs]
+        )
+    )
+    got, mean_m, std_m = TL.normalize_batch_masked(
+        mix, jnp.asarray(lens, jnp.int32)
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.stack(rows), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(mean_m).ravel(), np.asarray(means), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(std_m).ravel(), np.asarray(stds), atol=1e-6
+    )
+    # pad region of the normalized output is exactly zero
+    assert np.all(np.asarray(got)[0, :, 40:] == 0)
+    assert np.all(np.asarray(got)[2, :, 17:] == 0)
