@@ -9,8 +9,12 @@ from .mesh import (
     shard_params_fsdp,
 )
 from .shard_eval import make_sharded_separate, pad_batch_to_devices
+from .tensor_parallel import make_mesh_2d, make_tp_separate, tp_shardings
 
 __all__ = [
+    "make_mesh_2d",
+    "make_tp_separate",
+    "tp_shardings",
     "make_mesh",
     "fsdp_shardings",
     "shard_params_fsdp",

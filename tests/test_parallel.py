@@ -242,3 +242,64 @@ def test_two_process_fit_cpu(tmp_path, strategy):
     np.testing.assert_allclose(
         reports[0]["param_sum"], reports[1]["param_sum"], rtol=1e-6
     )
+
+
+def test_tp_separate_matches_replicated():
+    """Tensor-parallel inference (weights channel-sharded over the tp mesh
+    axis, GSPMD-inserted collectives) must reproduce the replicated
+    reverse process on the REAL (tiny) NCSN++ — float-reassociation noise
+    only."""
+    import __graft_entry__ as g
+    from diffsep_tpu.parallel import (
+        make_mesh_2d,
+        make_tp_separate,
+        tp_shardings,
+    )
+    from jax.sharding import PartitionSpec as P
+
+    model = g._flagship_model(tiny=True)
+    rng = np.random.default_rng(0)
+    fs = 800
+    mix = (rng.standard_normal((4, 1, fs)) * 0.1).astype(np.float32)
+    tgt = np.zeros((4, 2, fs), np.float32)
+    params = model.init_params(
+        jax.random.PRNGKey(0), jnp.asarray(mix), jnp.asarray(tgt)
+    )
+
+    key = jax.random.PRNGKey(3)
+    want, _ = model.separate(params, key, jnp.asarray(mix), N=2)
+
+    mesh = make_mesh_2d(2, 4)  # 2-way data x 4-way tensor parallel
+    specs = tp_shardings(params, mesh)
+    n_sharded = sum(
+        1 for s in jax.tree_util.tree_leaves(specs) if s.spec != P()
+    )
+    assert n_sharded > 10, "conv/dense kernels should actually shard"
+
+    run = make_tp_separate(model, params, mesh, N=2)
+    got, _ = run(key, mix)
+    assert got.shape == (4, 2, fs)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-4, rtol=1e-4
+    )
+
+
+def test_tp_single_utterance_whole_mesh():
+    """tp = n_devices: ONE utterance is served cooperatively by all 8
+    devices (the latency configuration DDP cannot express)."""
+    import __graft_entry__ as g
+    from diffsep_tpu.parallel import make_mesh_2d, make_tp_separate
+
+    model = g._flagship_model(tiny=True)
+    rng = np.random.default_rng(1)
+    fs = 800
+    mix = (rng.standard_normal((1, 1, fs)) * 0.1).astype(np.float32)
+    params = model.init_params(
+        jax.random.PRNGKey(0), jnp.asarray(mix),
+        jnp.zeros((1, 2, fs), jnp.float32),
+    )
+    mesh = make_mesh_2d(1, 8)
+    run = make_tp_separate(model, params, mesh, N=2)
+    est, _ = run(jax.random.PRNGKey(0), mix)
+    assert est.shape == (1, 2, fs)
+    assert np.isfinite(np.asarray(est)).all()
