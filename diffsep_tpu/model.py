@@ -292,7 +292,9 @@ class DiffSepModel:
         )
         kw.update(self.sampler_kwargs)
         kw.update(kwargs)
-        n_valid = jnp.asarray(n_valid, jnp.int32)
+        n_valid = jnp.clip(
+            jnp.asarray(n_valid, jnp.int32), 1, mix.shape[-1]
+        )
         mix_n, mean, std = normalize_batch_masked(mix, n_valid)
         est, nfe = _jit_pc_sample(self, params, key, mix_n, **kw)
         mask = (

@@ -73,8 +73,11 @@ def normalize_batch_masked(mix: Array, n_valid: Array):
     the unpadded signal). Same Bessel ddof=1 std and 1e-5 clamp as
     normalize_batch; with n_valid == n_samples it reduces to it exactly.
 
-    n_valid: int array (batch,) of valid sample counts per row.
+    n_valid: int array (batch,) of valid sample counts per row; values are
+    clamped to [1, n_samples] (0 would make the mean 0/0, and an
+    over-length count would silently deflate the Bessel std).
     """
+    n_valid = jnp.clip(n_valid, 1, mix.shape[-1])
     idx = jnp.arange(mix.shape[-1])
     mask = (idx[None, None, :] < n_valid[:, None, None]).astype(mix.dtype)
     n = n_valid.astype(mix.dtype).reshape(-1, 1, 1) * mix.shape[1]

@@ -300,3 +300,21 @@ def test_normalize_batch_masked_matches_serve_host_rule():
     # pad region of the normalized output is exactly zero
     assert np.all(np.asarray(got)[0, :, 40:] == 0)
     assert np.all(np.asarray(got)[2, :, 17:] == 0)
+
+
+def test_normalize_batch_masked_clamps_degenerate_n_valid():
+    """n_valid=0 must not produce NaN (0/0 mean) and over-length counts
+    must not deflate the std — both clamp to [1, n_samples]."""
+    rng = np.random.default_rng(7)
+    mix = jnp.asarray(rng.standard_normal((2, 1, 32)).astype(np.float32))
+    got, mean, std = TL.normalize_batch_masked(
+        mix, jnp.asarray([0, 999], jnp.int32)
+    )
+    assert np.isfinite(np.asarray(got)).all()
+    assert np.isfinite(np.asarray(mean)).all()
+    # row 1 clamps to the full length -> equals unmasked stats
+    (_, _), mean_u, std_u = TL.normalize_batch(mix[1:], None)
+    np.testing.assert_allclose(
+        float(np.asarray(std)[1].squeeze()),
+        float(np.asarray(std_u).squeeze()), atol=1e-6,
+    )
