@@ -86,13 +86,14 @@ def main(argv=None):
         help="Pick a different schedule for the inference",
     )
     parser.add_argument(
-        "--predictor", type=str, default="reverse_diffusion",
-        help="Predictor name (e.g. reverse_diffusion, ddim for the fast "
-        "exact-transition sampler)",
+        "--predictor", type=str, default=None,
+        help="Predictor name (default reverse_diffusion; ddim/dpmpp for "
+        "the fast exact-transition samplers)",
     )
     parser.add_argument(
-        "--corrector", type=str, default="ald2",
-        help="Corrector name (ald2 production; none with ddim)",
+        "--corrector", type=str, default=None,
+        help="Corrector name (default ald2 production; none with "
+        "ddim/dpmpp)",
     )
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument(
@@ -109,6 +110,44 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     model_path = resolve_model_path(args.model)
+
+    from .serve import _is_artifact
+
+    if _is_artifact(model_path):
+        # export artifact: the sampler + weights are baked in; batch wavs
+        # through the artifact's static contract via the serving engine
+        # (same output layout: s{i}/{stem}.wav)
+        conflicts = {
+            "-N": args.N, "--snr": args.snr,
+            "--corrector-steps": args.corrector_steps,
+            "--schedule": args.schedule,
+            "--predictor": args.predictor, "--corrector": args.corrector,
+            "--stream-chunk-s": args.stream_chunk_s,
+        }
+        set_flags = [k for k, v in conflicts.items() if v is not None]
+        if set_flags:
+            raise SystemExit(
+                f"{', '.join(set_flags)}: not available with an export "
+                "artifact — sampler settings are baked at export time "
+                "(cli/export_model.py) and streaming needs a live model"
+            )
+        from ..export import load_separator
+        from .serve import ArtifactEngine
+
+        eng = ArtifactEngine(load_separator(model_path), seed=args.seed)
+        args.output_dir.mkdir(parents=True, exist_ok=True)
+        files = sorted(args.input_dir.glob("*.wav"))
+        n_err = 0
+        for p, ok, msg in tqdm(
+            eng.process(files, args.output_dir), total=len(files),
+            desc="Separating wav files",
+        ):
+            if not ok:
+                n_err += 1
+                log.warning("%s: %s", p, msg)
+        if n_err:
+            log.warning("%d/%d files failed", n_err, len(files))
+        return
 
     model, params = load_model(model_path)
     model_sr = int(model.config.model.fs)
@@ -147,8 +186,8 @@ def main(argv=None):
                 np.asarray(waveform),
                 chunk_s=args.stream_chunk_s,
                 overlap_s=args.stream_overlap_s,
-                predictor_name=args.predictor,
-                corrector_name=args.corrector,
+                predictor_name=args.predictor or "reverse_diffusion",
+                corrector_name=args.corrector or "ald2",
                 **kw,
             )[None]
             est = scale_output(np.asarray(waveform)[None], est)
@@ -164,7 +203,8 @@ def main(argv=None):
         padded = -(-n // bucket) * bucket
         mix_p = jnp.pad(mix_n, ((0, 0), (0, 0), (0, padded - n)))
         sampler = model.get_pc_sampler(
-            args.predictor, args.corrector, mix_p, params,
+            args.predictor or "reverse_diffusion",
+            args.corrector or "ald2", mix_p, params,
             key=jax.random.fold_in(key, i), **kw,
         )
         est, _ = sampler()

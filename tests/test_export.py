@@ -153,3 +153,38 @@ def test_export_variable_length_rows(tiny_model, tmp_path):
     assert full.shape == (batch, 2, n)
     with pytest.raises(ValueError, match="n_valid"):
         sep.call(0, _mix(batch, n), np.array([n], np.int32))
+
+
+def test_separate_cli_from_artifact(tiny_model, tmp_path):
+    """separate.py --model model.dsx batches the folder through the
+    artifact's static contract (same s{i}/{stem}.wav layout) and rejects
+    baked-at-export sampler flags."""
+    from diffsep_tpu.cli.export_model import main as export_main
+    from diffsep_tpu.cli.separate import main as separate_main
+    from diffsep_tpu.data.audio_io import load_wav, save_wav
+
+    model, params, run_dir = tiny_model
+    art = tmp_path / "m.dsx"
+    export_main(
+        [
+            str(run_dir), "-o", str(art), "--batch", "2",
+            "--len-s", "0.5", "-N", "2", "--platforms", "cpu",
+        ]
+    )
+    indir = tmp_path / "in"
+    indir.mkdir()
+    rng = np.random.default_rng(2)
+    for name, L in [("a", 3000), ("b", 4000)]:
+        save_wav(indir / f"{name}.wav",
+                 (rng.standard_normal((1, L)) * 0.1).astype(np.float32), 8000)
+    outdir = tmp_path / "out"
+    separate_main([str(indir), str(outdir), "--model", str(art)])
+    for name, L in [("a", 3000), ("b", 4000)]:
+        for s in ["s0", "s1"]:
+            wav, sr = load_wav(outdir / s / f"{name}.wav")
+            assert sr == 8000 and wav.shape == (1, L)
+            assert np.isfinite(wav).all()
+
+    with pytest.raises(SystemExit, match="baked at export"):
+        separate_main([str(indir), str(outdir), "--model", str(art),
+                       "-N", "4"])
