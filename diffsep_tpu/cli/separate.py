@@ -78,8 +78,8 @@ def main(argv=None):
         "--corrector-steps", type=int, default=None, help="Number of corrector steps"
     )
     parser.add_argument(
-        "--denoise", type=str2bool, default=True,
-        help="Use denoising in solver (true/false)"
+        "--denoise", type=str2bool, default=None,
+        help="Use denoising in solver (true/false; default true)"
     )
     parser.add_argument(
         "-s", "--schedule", type=str, default=None,
@@ -122,6 +122,7 @@ def main(argv=None):
             "--corrector-steps": args.corrector_steps,
             "--schedule": args.schedule,
             "--predictor": args.predictor, "--corrector": args.corrector,
+            "--denoise": args.denoise,
             "--stream-chunk-s": args.stream_chunk_s,
         }
         set_flags = [k for k, v in conflicts.items() if v is not None]
@@ -159,7 +160,7 @@ def main(argv=None):
         kw["snr"] = args.snr
     if args.corrector_steps is not None:
         kw["corrector_steps"] = args.corrector_steps
-    kw["denoise"] = args.denoise
+    kw["denoise"] = True if args.denoise is None else args.denoise
     if args.schedule is not None:
         kw["schedule"] = args.schedule
 

@@ -49,22 +49,9 @@ from ..compilation_cache import enable as _enable_cache
 _enable_cache()
 
 
-def _normalize_rows(mixes, padded):
-    """Normalize each (1, n) signal on its TRUE length, then zero-pad to
-    `padded` (separate.py:132-135): padding first would fold the zero tail
-    into the mixture stats and feed the network an off-distribution
-    (hotter) input. Host numpy (eager device ops cost ~ms each over a
-    remote-TPU link) with the exact train.losses.normalize_batch
-    semantics: Bessel-corrected std, 1e-5 clamp."""
-    rows, means, stds = [], [], []
-    for m in mixes:
-        mean = float(np.mean(m))
-        std = max(float(np.std(m, ddof=1)), 1e-5)
-        m_n = ((m - mean) / std).astype(np.float32)
-        rows.append(np.pad(m_n, ((0, 0), (0, padded - m.shape[-1]))))
-        means.append(mean)
-        stds.append(std)
-    return rows, means, stds
+# host-side normalize-on-true-length-then-pad rule; one shared
+# implementation for serve + streaming (train/losses.py)
+from ..train.losses import normalize_rows_host as _normalize_rows
 
 
 class _EngineBase:
@@ -358,11 +345,15 @@ def _watch_loop(engine, args):
         idents = {}
         present = set()
         for p in sorted(args.watch.glob("*.wav")):
+            # membership in `present` comes from the directory LISTING, not
+            # from stat() succeeding: a transient stat error (NFS blip,
+            # atomic-rename race) must not prune the path's done/give-up
+            # state and trigger a full re-separation on the next poll
+            present.add(p)
             try:
                 st = p.stat()
-            except OSError:  # deleted between glob and stat
+            except OSError:  # deleted between glob and stat, or blip
                 continue
-            present.add(p)
             ident = (p, st.st_mtime_ns, st.st_size)
             idents[p] = ident
             if ident in done or attempts.get(ident, 0) >= MAX_ATTEMPTS:

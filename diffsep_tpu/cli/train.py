@@ -86,6 +86,15 @@ def main(argv=None):
             ),
         )
 
+    from ..train import loop as train_loop
+
+    if train_loop.LAST_FIT_PREEMPTED:
+        # preemption checkpoint is saved; the SIGTERM grace window does not
+        # have minutes for the test-split inference — exit cleanly NOW and
+        # resume with trainer.resume_from_checkpoint=latest
+        log.warning("preempted: skipping post-train test evaluation")
+        return state
+
     if cfg.get("test", False):
         from ..cli.evaluate import evaluate_datamodule
         from ..utils.distributed import is_rank_zero

@@ -80,15 +80,12 @@ def separate_streaming(
         starts = list(range(0, n - overlap, hop))
 
     # per-chunk normalization on TRUE length, then zero-pad to the chunk
-    rows, means, stds = [], [], []
-    for s in starts:
-        seg = mix[:, s : s + chunk]
-        mean = float(np.mean(seg))
-        std = max(float(np.std(seg, ddof=1)), 1e-5) if seg.shape[-1] > 1 else 1.0
-        seg_n = ((seg - mean) / std).astype(np.float32)
-        rows.append(np.pad(seg_n, ((0, 0), (0, chunk - seg.shape[-1]))))
-        means.append(mean)
-        stds.append(std)
+    # (shared serving rule — train/losses.py:normalize_rows_host)
+    from .train.losses import normalize_rows_host
+
+    rows, means, stds = normalize_rows_host(
+        [mix[:, s : s + chunk] for s in starts], chunk
+    )
 
     # batched sampler runs over the single compiled (batch, 1, chunk) shape
     predictor = sampler_kwargs.pop("predictor_name", "reverse_diffusion")

@@ -401,7 +401,16 @@ def fit(
         jax.profiler.stop_trace()
     logger.close()
     ckpt.close()
+    # record the outcome for callers: after a preemption save the process
+    # must exit promptly (cli/train.py skips the post-train test eval —
+    # minutes of inference the SIGTERM grace window does not have)
+    global LAST_FIT_PREEMPTED
+    LAST_FIT_PREEMPTED = preempted
     return state
+
+
+# whether the most recent fit() in this process stopped for preemption
+LAST_FIT_PREEMPTED = False
 
 
 def validate(model, datamodule, state, val_loss_fn, key, mesh):
@@ -415,10 +424,14 @@ def validate(model, datamodule, state, val_loss_fn, key, mesh):
     # (pl_model.py:650-670: eval() -> ema.copy_to), not just separation.
     # Multi-process: the state lives on the global mesh while validation
     # batches are process-local (the val loader is unsharded), so pull a
-    # host-local copy of the replicated weights once per validation pass.
+    # host-local copy of the replicated weights once per validation pass —
+    # and pin it to a LOCAL device: leaving it as host numpy would make
+    # every jitted val/sep call below re-upload the whole parameter tree.
     ema_params = state.ema.params
     if jax.process_count() > 1:
-        ema_params = jax.device_get(ema_params)
+        ema_params = jax.device_put(
+            jax.device_get(ema_params), jax.local_devices()[0]
+        )
     for i, (mix, target) in enumerate(datamodule.val_dataloader()):
         mix = jnp.asarray(mix)
         target = jnp.asarray(target)

@@ -38,6 +38,7 @@ from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..sde.base import SDE
 
@@ -64,12 +65,34 @@ def denormalize_batch(x: Array, mean: Array, std: Array) -> Array:
     return x * std + mean
 
 
+def normalize_rows_host(rows, padded: int):
+    """Host-side (numpy) serving counterpart of normalize_batch: normalize
+    each (1, n) signal on its TRUE length with the exact normalize_batch
+    stats (Bessel ddof=1 std, 1e-5 clamp), THEN zero-pad to `padded` —
+    padding first would fold the zero tail into the mixture stats and feed
+    the network an off-distribution input (reference separate.py:132-135
+    normalizes the unpadded signal). Shared by cli/serve.py and
+    streaming.py so the serving rule has exactly one implementation.
+    Returns (padded_rows, means, stds); single-sample rows get std=1
+    (np.std(ddof=1) of one sample is NaN, which max() would propagate)."""
+    out, means, stds = [], [], []
+    for m in rows:
+        n = m.shape[-1]
+        mean = float(np.mean(m)) if n else 0.0
+        std = max(float(np.std(m, ddof=1)), 1e-5) if n > 1 else 1.0
+        m_n = ((m - mean) / std).astype(np.float32)
+        out.append(np.pad(m_n, ((0, 0), (0, padded - n))))
+        means.append(mean)
+        stds.append(std)
+    return out, means, stds
+
+
 def normalize_batch_masked(mix: Array, n_valid: Array):
     """normalize_batch for zero-padded rows: each row's mean/std come from
     its true span ``[:, :n_valid[b]]`` only, and the pad region of the
     output is forced to exactly 0 — the in-graph equivalent of the serving
     rule "normalize on true length, THEN pad"
-    (cli/serve.py:_normalize_rows; reference separate.py:132-135 normalizes
+    (normalize_rows_host above; reference separate.py:132-135 normalizes
     the unpadded signal). Same Bessel ddof=1 std and 1e-5 clamp as
     normalize_batch; with n_valid == n_samples it reduces to it exactly.
 

@@ -349,6 +349,9 @@ def test_preemption_checkpoint_and_resume(trained_run_dir, wsj0_tree, tmp_path):
     t.join(timeout=60)
     saved_step = int(state.step)
     assert 0 < saved_step < budget, saved_step
+    # the outcome is exposed so cli/train.py can skip the post-train test
+    # eval (minutes of inference the SIGTERM grace window does not have)
+    assert loop_mod.LAST_FIT_PREEMPTED is True
     # the ONLY checkpoint is the preemption save, at the step fit returned
     steps = sorted(
         int(p.name) for p in (workdir / "checkpoints").iterdir()
@@ -367,6 +370,8 @@ def test_preemption_checkpoint_and_resume(trained_run_dir, wsj0_tree, tmp_path):
         n_devices=1, resume="latest",
     )
     assert int(state2.step) == saved_step + 2
+    # a normally-completed fit resets the preemption outcome
+    assert loop_mod.LAST_FIT_PREEMPTED is False
 
 
 def test_resume_from_checkpoint(trained_run_dir, wsj0_tree):

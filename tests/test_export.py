@@ -188,3 +188,8 @@ def test_separate_cli_from_artifact(tiny_model, tmp_path):
     with pytest.raises(SystemExit, match="baked at export"):
         separate_main([str(indir), str(outdir), "--model", str(art),
                        "-N", "4"])
+    # --denoise is baked too (used to be silently ignored: its old default
+    # of True made the conflict undetectable)
+    with pytest.raises(SystemExit, match="baked at export"):
+        separate_main([str(indir), str(outdir), "--model", str(art),
+                       "--denoise", "false"])
