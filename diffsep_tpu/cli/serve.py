@@ -63,6 +63,27 @@ class _EngineBase:
 
     max_samples: int | None = None
 
+    def validate(self, wav: np.ndarray, sr: int) -> str | None:
+        """Reject a request before it can poison a micro-batch. Returns an
+        error message, or None if the signal is servable. Shared by the
+        file front-ends and the HTTP front (serve_http.py): a (2, n) row
+        would make np.stack in _run_bucket raise and fail the whole
+        micro-batch, taking innocent co-batched requests down with it."""
+        if sr != self.fs:
+            return f"sample rate {sr} != model {self.fs}"
+        if wav.ndim != 2 or wav.shape[0] != 1:
+            return f"expected mono (1, n), got shape {tuple(wav.shape)}"
+        if wav.shape[-1] < 1:
+            return "empty signal"
+        if self.max_samples is not None and wav.shape[-1] > self.max_samples:
+            return (
+                f"{wav.shape[-1]} samples exceeds the artifact's "
+                f"static contract ({self.max_samples}); chunk it "
+                "(separate.py --stream-chunk-s) or export a longer "
+                "artifact"
+            )
+        return None
+
     def process(self, paths, output_dir: Path):
         """Separate `paths`, grouped by length bucket, micro-batched.
         Yields (path, ok, message)."""
@@ -71,28 +92,10 @@ class _EngineBase:
             p = Path(p)
             try:
                 wav, sr = load_wav(p)
-                if sr != self.fs:
-                    yield p, False, f"sample rate {sr} != model {self.fs}"
-                    continue
                 wav = np.asarray(wav, np.float32)
-                # reject non-mono here: a (2, n) row would make np.stack in
-                # _run_bucket raise and fail the whole micro-batch, taking
-                # innocent co-batched mono files down with it
-                if wav.ndim != 2 or wav.shape[0] != 1:
-                    yield p, False, (
-                        f"expected mono (1, n), got shape {wav.shape}"
-                    )
-                    continue
-                if (
-                    self.max_samples is not None
-                    and wav.shape[-1] > self.max_samples
-                ):
-                    yield p, False, (
-                        f"{wav.shape[-1]} samples exceeds the artifact's "
-                        f"static contract ({self.max_samples}); chunk it "
-                        "(separate.py --stream-chunk-s) or export a longer "
-                        "artifact"
-                    )
+                err = self.validate(wav, sr)
+                if err is not None:
+                    yield p, False, err
                     continue
                 items.append((p, wav))
             except Exception as e:  # unreadable file must not kill serving
@@ -298,6 +301,15 @@ def main(argv=None):
                         "serving")
     parser.add_argument("--watch", type=Path, default=None,
                         help="Poll this directory for new wav files")
+    parser.add_argument("--http", type=str, default=None, metavar="HOST:PORT",
+                        help="serve over HTTP instead: POST /v1/separate "
+                        "(wav body -> multi-channel wav), GET /healthz, "
+                        "GET /metrics; concurrent requests share micro-"
+                        "batched program runs (cli/serve_http.py)")
+    parser.add_argument("--http-queue", type=int, default=64,
+                        help="pending-request cap before 503 (http mode)")
+    parser.add_argument("--http-timeout-s", type=float, default=600.0,
+                        help="per-request completion timeout (http mode)")
     parser.add_argument("--poll-s", type=float, default=1.0)
     parser.add_argument("--batch", type=int, default=4,
                         help="Micro-batch size (requests per program run)")
@@ -318,10 +330,27 @@ def main(argv=None):
                         "(for tests/cron)")
     args = parser.parse_args(argv)
 
+    if args.http is not None and args.watch is not None:
+        raise SystemExit("--http and --watch are mutually exclusive")
+
     engine = _engine_from_args(args)
     args.output_dir.mkdir(parents=True, exist_ok=True)
     if args.warmup_s:
         engine.warmup(args.warmup_s)
+
+    if args.http is not None:
+        from .serve_http import HTTPSeparationServer
+
+        host, _, port = args.http.rpartition(":")
+        server = HTTPSeparationServer(
+            engine,
+            host=host or "127.0.0.1",
+            port=int(port),
+            max_queue=args.http_queue,
+            timeout_s=args.http_timeout_s,
+        )
+        server.serve_forever()
+        return
 
     if args.watch is not None:
         _watch_loop(engine, args)

@@ -28,7 +28,20 @@ def load_wav(path) -> Tuple[np.ndarray, int]:
         return native_io.load_wav(str(path))
     from scipy.io import wavfile
 
-    fs, data = wavfile.read(str(path))
+    return _normalize_decoded(*wavfile.read(str(path)))
+
+
+def load_wav_bytes(data: bytes) -> Tuple[np.ndarray, int]:
+    """Decode in-memory wav bytes (e.g. an HTTP request body) ->
+    (float32 (channels, samples) in [-1, 1], fs)."""
+    import io
+
+    from scipy.io import wavfile
+
+    return _normalize_decoded(*wavfile.read(io.BytesIO(data)))
+
+
+def _normalize_decoded(fs: int, data: np.ndarray) -> Tuple[np.ndarray, int]:
     if data.dtype == np.int16:
         data = data.astype(np.float32) / 32768.0
     elif data.dtype == np.int32:
@@ -44,10 +57,7 @@ def load_wav(path) -> Tuple[np.ndarray, int]:
     return np.ascontiguousarray(data), int(fs)
 
 
-def save_wav(path, data: np.ndarray, fs: int, dtype: str = "int16"):
-    """Write (channels, samples) float data to a wav file."""
-    from scipy.io import wavfile
-
+def _encode_pcm(data: np.ndarray, dtype: str) -> np.ndarray:
     data = np.asarray(data)
     if data.ndim == 2:
         data = data.T  # scipy expects (samples, channels)
@@ -58,5 +68,25 @@ def save_wav(path, data: np.ndarray, fs: int, dtype: str = "int16"):
         data = (data * 32767.0).astype(np.int16)
     else:
         data = data.astype(np.float32)
+    return data
+
+
+def save_wav(path, data: np.ndarray, fs: int, dtype: str = "int16"):
+    """Write (channels, samples) float data to a wav file."""
+    from scipy.io import wavfile
+
     Path(path).parent.mkdir(parents=True, exist_ok=True)
-    wavfile.write(str(path), fs, data)
+    wavfile.write(str(path), fs, _encode_pcm(data, dtype))
+
+
+def wav_to_bytes(data: np.ndarray, fs: int, dtype: str = "int16") -> bytes:
+    """Encode (channels, samples) float data to in-memory wav bytes (e.g.
+    an HTTP response body). Multi-source estimates become one multi-channel
+    wav: channel i = source i."""
+    import io
+
+    from scipy.io import wavfile
+
+    buf = io.BytesIO()
+    wavfile.write(buf, fs, _encode_pcm(data, dtype))
+    return buf.getvalue()

@@ -400,6 +400,133 @@ def test_streaming_real_model_long_file(tiny_run, tmp_path):
         assert np.isfinite(wav).all()
 
 
+def _http(method, url, body=None, headers=None):
+    import urllib.error
+    import urllib.request
+
+    req = urllib.request.Request(
+        url, data=body, method=method, headers=headers or {}
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            return resp.status, dict(resp.headers), resp.read()
+    except urllib.error.HTTPError as e:
+        return e.code, dict(e.headers), e.read()
+
+
+def test_http_separate_roundtrip_and_endpoints(tiny_run, tmp_path):
+    """POST /v1/separate returns one multi-channel wav (channel i =
+    source i) through the real (tiny) model; /healthz and /metrics serve
+    liveness and Prometheus counters."""
+    import json
+
+    from diffsep_tpu.cli.loading import load_model
+    from diffsep_tpu.cli.serve import SeparationEngine
+    from diffsep_tpu.cli.serve_http import HTTPSeparationServer
+    from diffsep_tpu.data.audio_io import load_wav_bytes, wav_to_bytes
+
+    root, run_dir = tiny_run
+    model, params = load_model(run_dir)
+    eng = SeparationEngine(model, params, batch=2, sampler_kwargs={"N": 2})
+    rng = np.random.default_rng(11)
+    wav = rng.standard_normal((1, 1600)).astype(np.float32) * 0.1
+
+    with HTTPSeparationServer(eng, port=0) as srv:
+        base = f"http://127.0.0.1:{srv.port}"
+        code, headers, body = _http(
+            "POST", base + "/v1/separate", wav_to_bytes(wav, 8000)
+        )
+        assert code == 200, body
+        assert headers["X-Diffsep-Sources"] == "2"
+        est, sr = load_wav_bytes(body)
+        assert sr == 8000 and est.shape == (2, 1600)
+        assert np.isfinite(est).all()
+
+        code, _, body = _http("GET", base + "/healthz")
+        health = json.loads(body)
+        assert code == 200 and health["status"] == "ok"
+        assert health["fs"] == 8000 and health["batch"] == 2
+
+        code, _, body = _http("GET", base + "/metrics")
+        text = body.decode()
+        assert code == 200
+        assert 'diffsep_requests_total{status="ok"} 1' in text
+        assert "diffsep_batch_fill_count 1" in text
+
+
+def test_http_rejects_bad_requests(tiny_run):
+    """Wrong sample rate and undecodable bodies get 400s with the reason;
+    nothing reaches the device."""
+    import json
+
+    from diffsep_tpu.cli.loading import load_model
+    from diffsep_tpu.cli.serve import SeparationEngine
+    from diffsep_tpu.cli.serve_http import HTTPSeparationServer
+    from diffsep_tpu.data.audio_io import wav_to_bytes
+
+    root, run_dir = tiny_run
+    model, params = load_model(run_dir)
+    eng = SeparationEngine(model, params, batch=1, sampler_kwargs={"N": 2})
+    wav = np.zeros((1, 800), np.float32)
+
+    with HTTPSeparationServer(eng, port=0) as srv:
+        base = f"http://127.0.0.1:{srv.port}"
+        code, _, body = _http(
+            "POST", base + "/v1/separate", wav_to_bytes(wav, 16000)
+        )
+        assert code == 400 and "sample rate" in json.loads(body)["error"]
+
+        code, _, body = _http("POST", base + "/v1/separate", b"not a wav")
+        assert code == 400 and "decode" in json.loads(body)["error"]
+
+        code, _, _ = _http("POST", base + "/nope", b"x")
+        assert code == 404
+
+        code, _, body = _http("GET", base + "/metrics")
+        assert 'diffsep_requests_total{status="error"} 3' in body.decode()
+
+
+class _StubHTTPEngine:
+    """Engine double for batching behavior: records _run_bucket call
+    sizes, returns zeros. Validation comes from the real base class."""
+
+    from diffsep_tpu.cli.serve import _EngineBase
+
+    validate = _EngineBase.validate
+    max_samples = None
+
+    def __init__(self, fs=8000, batch=4, bucket=800):
+        self.fs, self.batch, self.bucket = fs, batch, bucket
+        self.calls = []
+
+    def _run_bucket(self, mixes):
+        self.calls.append(len(mixes))
+        return [np.zeros((2, m.shape[-1]), np.float32) for m in mixes]
+
+
+def test_http_concurrent_requests_share_a_micro_batch():
+    """Requests pending together must be drained into ONE program run
+    (the cross-connection micro-batching the stdin mode gets from its
+    fd drain)."""
+    from diffsep_tpu.cli.serve_http import HTTPSeparationServer
+
+    eng = _StubHTTPEngine(batch=4)
+    srv = HTTPSeparationServer(eng, port=0)  # worker NOT started yet
+    try:
+        pend = [
+            srv.submit(np.zeros((1, 700), np.float32)) for _ in range(3)
+        ]
+        srv._worker.start()  # now the drain sees all three pending
+        for p in pend:
+            assert p.done.wait(30)
+            assert p.est is not None and p.est.shape == (2, 700)
+        assert eng.calls == [3]
+        assert srv.metrics.batch_fill_sum == 3
+        assert srv.metrics.batch_runs == 1
+    finally:
+        srv.shutdown()
+
+
 def test_serve_from_artifact(tiny_run, tmp_path, capsys):
     """--model model.dsx serves the export artifact (no live model): a
     shorter request is padded and served through the artifact's n_valid
