@@ -39,13 +39,46 @@ def main(argv=None):
         help="comma-separated lowering targets",
     )
     parser.add_argument("--step", type=int, default=None)
+    parser.add_argument(
+        "--avg-last-k", type=int, default=None,
+        help="average the evaluation weights of the k most recent "
+        "checkpoints (checkpoint averaging) before exporting",
+    )
+    parser.add_argument(
+        "--torch", action="store_true",
+        help="write a reference-compatible PyTorch .ckpt instead of a "
+        "StableHLO artifact: the evaluation (EMA) weights as "
+        "`state_dict['score_model.*']` + the run config under "
+        "`hyper_parameters.config` with reference `_target_` paths, so "
+        "the torch reference can evaluate weights trained here "
+        "(models/convert.py:save_reference_checkpoint)",
+    )
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
     from .loading import load_model
     from ..export import export_separator
 
-    model, params = load_model(args.ckpt, step=args.step)
+    model, params = load_model(
+        args.ckpt, step=args.step, avg_last_k=args.avg_last_k
+    )
+
+    if args.torch:
+        baked = {"-N": args.N, "--predictor": args.predictor,
+                 "--corrector": args.corrector, "--snr": args.snr,
+                 "--corrector-steps": args.corrector_steps,
+                 "--schedule": args.schedule}
+        set_flags = [k for k, v in baked.items() if v is not None]
+        if set_flags:
+            raise SystemExit(
+                f"{', '.join(set_flags)}: sampler flags do not apply to "
+                "--torch (the reference chooses its sampler at run time)"
+            )
+        from ..models.convert import save_reference_checkpoint
+
+        save_reference_checkpoint(args.output, params, model.config)
+        print(f"wrote reference checkpoint {args.output}")
+        return
     fs = int(model.config.model.fs)
     n_samples = int(round(args.len_s * fs))
 

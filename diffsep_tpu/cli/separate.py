@@ -97,6 +97,11 @@ def main(argv=None):
     )
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument(
+        "--avg-last-k", type=int, default=None,
+        help="average the evaluation weights of the k most recent "
+        "checkpoints (checkpoint averaging; run-dir models only)",
+    )
+    parser.add_argument(
         "--stream-chunk-s", type=float, default=None,
         help="Separate in fixed-size chunks of this many seconds with "
         "overlap-add stitching and chunk-to-chunk permutation alignment "
@@ -124,6 +129,7 @@ def main(argv=None):
             "--predictor": args.predictor, "--corrector": args.corrector,
             "--denoise": args.denoise,
             "--stream-chunk-s": args.stream_chunk_s,
+            "--avg-last-k": args.avg_last_k,
         }
         set_flags = [k for k, v in conflicts.items() if v is not None]
         if set_flags:
@@ -150,7 +156,7 @@ def main(argv=None):
             log.warning("%d/%d files failed", n_err, len(files))
         return
 
-    model, params = load_model(model_path)
+    model, params = load_model(model_path, avg_last_k=args.avg_last_k)
     model_sr = int(model.config.model.fs)
 
     kw = {}

@@ -20,7 +20,13 @@ from typing import Any, Dict, Mapping, Tuple
 
 import numpy as np
 
-__all__ = ["convert_backbone_state_dict", "convert_score_model_state_dict"]
+__all__ = [
+    "convert_backbone_state_dict",
+    "convert_score_model_state_dict",
+    "flax_to_backbone_state_dict",
+    "flax_to_score_model_state_dict",
+    "save_reference_checkpoint",
+]
 
 
 def _to_numpy(t) -> np.ndarray:
@@ -129,6 +135,159 @@ def convert_ema_backbone(
         if key.endswith("all_modules.0.W"):
             ema_sd[key] = tensor
     return convert_backbone_state_dict(ema_sd, prefix)
+
+
+def _flatten(tree: Mapping[str, Any], prefix: Tuple[str, ...] = ()):
+    for k, v in tree.items():
+        if isinstance(v, Mapping):
+            yield from _flatten(v, prefix + (k,))
+        else:
+            yield prefix + (k,), v
+
+
+def _deconvert_leaf(path: Tuple[str, ...], arr: np.ndarray):
+    """Inverse of `_convert_leaf`: map one flax (path, array) to a torch
+    (path, tensor-shaped array)."""
+    name = path[-1]
+    parent = path[-2] if len(path) >= 2 else ""
+    if name == "kernel":
+        if arr.ndim == 4:  # HWIO -> Conv2d OIHW
+            return path[:-1] + ("weight",), arr.transpose(3, 2, 0, 1)
+        if arr.ndim == 2:  # (in, out) -> Linear (out, in)
+            return path[:-1] + ("weight",), arr.T
+        raise ValueError(f"Unhandled kernel shape {arr.shape} at {path}")
+    if name == "scale":  # GroupNorm
+        return path[:-1] + ("weight",), arr
+    if name == "weight":
+        if not parent.startswith("Conv2d"):
+            raise ValueError(f"Unexpected flax leaf name 'weight' at {path}")
+        return path, arr  # StyleGAN2 fused conv stores torch OIHW natively
+    if name in ("bias", "W", "b"):
+        return path, arr
+    raise ValueError(f"Unhandled parameter {path}")
+
+
+def _module_index_unrename(path: Tuple[str, ...]) -> str:
+    """('all_modules_<i>', *rest) -> 'all_modules.<i>.rest' — inverse of
+    `_module_index_rename`."""
+    out = []
+    for p in path:
+        if p.startswith("all_modules_") and p[len("all_modules_"):].isdigit():
+            out.append("all_modules")
+            out.append(p[len("all_modules_"):])
+        else:
+            out.append(p)
+    return ".".join(out)
+
+
+def flax_to_backbone_state_dict(
+    params: Mapping[str, Any], prefix: str = ""
+) -> Dict[str, np.ndarray]:
+    """Convert a flax NCSNpp param tree to a torch NCSNpp state_dict
+    (numpy values; call `torch.from_numpy` per leaf or use
+    `save_reference_checkpoint`). Exact inverse of
+    `convert_backbone_state_dict`:
+
+      flax Conv kernel (kh, kw, I, O) -> torch Conv2d weight (O, I, kh, kw)
+      flax Dense kernel (I, O)        -> torch Linear weight (O, I)
+      flax GroupNorm scale            -> torch GroupNorm weight
+      NIN W/b, Fourier W, fused Conv2d_0 weight -> unchanged
+
+    Lets weights trained here be evaluated with the reference
+    (/root/reference/models/ncsnpp.py loads the result with strict=True;
+    tested in tests/test_ncsnpp.py)."""
+    out: Dict[str, np.ndarray] = {}
+    for path, arr in _flatten(params):
+        path, arr = _deconvert_leaf(path, np.asarray(arr))
+        out[prefix + _module_index_unrename(path)] = np.ascontiguousarray(
+            np.asarray(arr, np.float32)
+        )
+    return out
+
+
+def flax_to_score_model_state_dict(
+    params: Mapping[str, Any], backbone_prefix: str = "backbone."
+) -> Dict[str, np.ndarray]:
+    """Inverse of `convert_score_model_state_dict`: flax ScoreModelNCSNpp
+    params -> torch ScoreModelNCSNpp state_dict (score_models.py:10),
+    including the optional learnable spectrogram-transform scalars."""
+    params = dict(params)
+    backbone = params.pop("backbone", {})
+    out = flax_to_backbone_state_dict(backbone, backbone_prefix)
+    for key in ("spec_abs_exponent", "spec_factor"):
+        if key in params:
+            out[key] = np.asarray(params[key], np.float32)
+    return out
+
+
+# our config tree names -> the reference's torch import paths, so a
+# checkpoint exported here instantiates under the reference's hydra
+# config loading (exact inverse of cli/loading.py:_config_from_hparams)
+_TO_REFERENCE_TARGETS = {
+    "diffsep_tpu.models.ScoreModelNCSNpp": "models.score_models.ScoreModelNCSNpp",
+    "diffsep_tpu.models.NCSNpp": "models.ncsnpp.NCSNpp",
+    "diffsep_tpu.sde.MixSDE": "sdes.sdes.MixSDE",
+    "diffsep_tpu.sde.PriorMixSDE": "sdes.sdes.PriorMixSDE",
+    "diffsep_tpu.sde.OUVESDE": "sdes.sdes.OUVESDE",
+    "diffsep_tpu.sde.OUVPSDE": "sdes.sdes.OUVPSDE",
+    "diffsep_tpu.models.losses.SISDRLoss": "models.losses.SISDRLoss",
+    "diffsep_tpu.models.losses.PESQ": "models.losses.PESQ",
+    "diffsep_tpu.train.clippers.FixedClipper": "utils.FixedClipper",
+    "diffsep_tpu.train.clippers.AutoClipper": "utils.AutoClipper",
+    "adam": "torch.optim.Adam",
+    "mse": "torch.nn.MSELoss",
+}
+
+
+def _to_reference_config(node):
+    if isinstance(node, Mapping):
+        return {
+            k: (
+                _TO_REFERENCE_TARGETS.get(v, v)
+                if k == "_target_"
+                else _to_reference_config(v)
+            )
+            for k, v in node.items()
+        }
+    if isinstance(node, (list, tuple)):
+        return [_to_reference_config(v) for v in node]
+    return node
+
+
+def save_reference_checkpoint(path, params, config=None) -> None:
+    """Write a reference-compatible PyTorch checkpoint from flax
+    ScoreModelNCSNpp params (pass the EMA params — evaluation-time weights;
+    the reference tolerates a missing `ema` section, pl_model.py:642-648,
+    and falls back to the raw weights, which are then these).
+
+    The result round-trips through our own loader
+    (cli/loading.py torch-checkpoint path) and carries the reference's
+    checkpoint layout: `state_dict` with `score_model.*` keys and
+    `hyper_parameters.config` (pl_model.py:100-103) with `_target_`
+    paths rewritten to the reference's torch import paths, so the
+    reference's `DiffSepModel.load_from_checkpoint` can instantiate it.
+    `config` is the composed run config (e.g. `model.config`)."""
+    import torch
+
+    sd = {
+        "score_model." + k: torch.from_numpy(v)
+        for k, v in flax_to_score_model_state_dict(params).items()
+    }
+    ckpt: Dict[str, Any] = {
+        "state_dict": sd,
+        "global_step": 0,
+        "epoch": 0,
+    }
+    if config is not None:
+        try:
+            from omegaconf import OmegaConf
+
+            if OmegaConf.is_config(config):
+                config = OmegaConf.to_container(config, resolve=True)
+        except ImportError:
+            pass
+        ckpt["hyper_parameters"] = {"config": _to_reference_config(config)}
+    torch.save(ckpt, str(path))
 
 
 def convert_score_model_state_dict(

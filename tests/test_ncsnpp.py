@@ -158,6 +158,49 @@ def test_bfloat16_compute_matches_float32(rng):
     assert np.abs(y16 - y32).max() < 0.05 * max(scale, 1.0)
 
 
+def test_flax_to_torch_export_loads_in_reference(rng, reference_ncsnpp):
+    """Reverse interop: weights trained HERE, exported with
+    flax_to_backbone_state_dict, must load into the actual torch reference
+    with strict=True and reproduce our forward — and round-trip back to
+    the identical flax tree."""
+    import torch
+
+    from diffsep_tpu.models.convert import flax_to_backbone_state_dict
+
+    flax_model = NCSNpp(**SMALL)
+    x = rng.uniform(-1, 1, (2, 32, 16, 6)).astype(np.float32)  # NHWC
+    t = np.asarray([0.3, 0.8], np.float32)
+    params = flax_model.init(
+        jax.random.PRNGKey(1), jnp.asarray(x), jnp.asarray(t)
+    )
+    ours = np.asarray(
+        flax_model.apply(params, jnp.asarray(x), jnp.asarray(t))
+    ).transpose(0, 3, 1, 2)
+
+    sd = flax_to_backbone_state_dict(params["params"])
+    torch_model = reference_ncsnpp(**SMALL)
+    torch_model.load_state_dict(
+        {k: torch.from_numpy(v) for k, v in sd.items()}, strict=True
+    )
+    torch_model.eval()
+    with torch.no_grad():
+        ref = torch_model(
+            torch.from_numpy(x.transpose(0, 3, 1, 2)), torch.from_numpy(t)
+        ).numpy()
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(
+        ours, ref, atol=2e-4 * max(scale, 1.0), rtol=1e-3
+    )
+
+    # exact round-trip back to the identical flax tree
+    rt = convert_backbone_state_dict(sd)
+    flat_rt = dict(jax.tree_util.tree_leaves_with_path(rt))
+    flat_in = jax.tree_util.tree_leaves_with_path(params["params"])
+    assert len(flat_rt) == len(flat_in)
+    for path, leaf in flat_in:
+        np.testing.assert_array_equal(flat_rt[path], np.asarray(leaf))
+
+
 def test_ema_shadow_conversion(reference_ncsnpp):
     """EMA shadow-list -> flax params mapping (models/convert.py).
 

@@ -148,3 +148,70 @@ def test_load_torch_checkpoint_end_to_end(tmp_path, rng, torch_ref):
     est, nfe = model.separate(params, jax.random.PRNGKey(0), mix, N=2)
     assert est.shape == (1, 2, 2000)
     assert np.isfinite(np.asarray(est)).all()
+
+
+def test_save_reference_checkpoint_roundtrip(tmp_path, rng):
+    """Full interop circle: a model initialized HERE is exported as a
+    reference-layout torch checkpoint (cli/export_model.py --torch /
+    models/convert.py:save_reference_checkpoint) and loaded BACK through
+    the torch-checkpoint path of our loader — identical weights, identical
+    score forward, reference `_target_` paths in hyper_parameters."""
+    import torch
+
+    from diffsep_tpu.cli.export_model import main as export_main
+    from diffsep_tpu.cli.loading import load_model
+    from diffsep_tpu.config import compose
+    from diffsep_tpu.model import DiffSepModel
+    from diffsep_tpu.models.convert import save_reference_checkpoint
+
+    cfg = compose([
+        "model.score_model.backbone_args.nf=8",
+        "model.score_model.backbone_args.ch_mult=[1,2]",
+        "model.score_model.backbone_args.num_res_blocks=1",
+        "model.score_model.backbone_args.attn_resolutions=[16]",
+        "model.score_model.backbone_args.image_size=64",
+        "model.score_model.stft_args.n_fft=126",
+        "model.score_model.stft_args.hop_length=32",
+    ])
+    model = DiffSepModel(cfg)
+    mix = jnp.asarray(rng.standard_normal((1, 1, 2000)), jnp.float32) * 0.1
+    tgt = jnp.zeros((1, 2, 2000), jnp.float32)
+    params = model.init_params(jax.random.PRNGKey(3), mix, tgt)
+
+    path = tmp_path / "exported.ckpt"
+    save_reference_checkpoint(path, params, cfg)
+
+    # the saved config carries REFERENCE import paths (loadable by the
+    # reference's hydra instantiate), not ours
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    hp = ckpt["hyper_parameters"]["config"]["model"]
+    assert hp["score_model"]["_target_"] == "models.score_models.ScoreModelNCSNpp"
+    assert hp["score_model"]["backbone_args"]["_target_"] == "models.ncsnpp.NCSNpp"
+    assert hp["sde"]["_target_"] == "sdes.sdes.MixSDE"
+    assert all(
+        k.startswith("score_model.") for k in ckpt["state_dict"].keys()
+    )
+
+    model2, params2 = load_model(path)
+    flat1 = dict(jax.tree_util.tree_leaves_with_path(params))
+    flat2 = dict(jax.tree_util.tree_leaves_with_path(params2))
+    assert set(flat1) == set(flat2)
+    for k, v in flat1.items():
+        np.testing.assert_allclose(np.asarray(v), np.asarray(flat2[k]),
+                                   atol=0, rtol=0)
+
+    x = jnp.asarray(rng.standard_normal((1, 2, 2000)), jnp.float32) * 0.1
+    t = jnp.full((1,), 0.5, jnp.float32)
+    s1 = np.asarray(model.score_apply(params, x, t, mix))
+    s2 = np.asarray(model2.score_apply(params2, x, t, mix))
+    np.testing.assert_allclose(s1, s2, atol=1e-6)
+
+    # and the CLI spelling works (rejecting sampler flags, which are a
+    # run-time choice in the reference)
+    out2 = tmp_path / "cli.ckpt"
+    import pytest as _pytest
+
+    export_main([str(path), "-o", str(out2), "--torch"])
+    assert out2.exists()
+    with _pytest.raises(SystemExit, match="sampler flags"):
+        export_main([str(path), "-o", str(out2), "--torch", "-N", "4"])
