@@ -89,6 +89,11 @@ def build_parser():
         help="Corrector name (none with ddim)",
     )
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument(
+        "--avg-last-k", type=int, default=None,
+        help="average the evaluation weights of the k most recent "
+        "checkpoints (checkpoint averaging; run-dir models only)",
+    )
     return parser
 
 
@@ -229,7 +234,7 @@ def main(argv=None):
         model, params, sampler_kwargs, fs, n_src = None, None, {}, 8000, 2
         output_dir = args.output_dir / (args.tag or "mix")
     else:
-        model, params = load_model(args.ckpt)
+        model, params = load_model(args.ckpt, avg_last_k=args.avg_last_k)
         cfg = model.config
         fs = int(cfg.model.fs)
 
@@ -265,6 +270,8 @@ def main(argv=None):
             f"N-{N}_snr-{snr}_corrstep-{corrector_steps}"
             f"_denoise-{args.denoise}_schedule-{args.schedule}"
         )
+        if args.avg_last_k and args.avg_last_k > 1:
+            tag_inf += f"_avgk-{args.avg_last_k}"
         # resolve() first: a bare relative filename ("checkpoint.pt") has no
         # parents[1] and raised IndexError
         exp_name = (

@@ -231,9 +231,14 @@ def main(argv=None):
     parser.add_argument("--stoi-no-extended", action="store_true")
     parser.add_argument("--tag", type=str, default=None)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument(
+        "--avg-last-k", type=int, default=None,
+        help="average the evaluation weights of the k most recent "
+        "checkpoints (checkpoint averaging; run-dir models only)",
+    )
     args = parser.parse_args(argv)
 
-    model, params = load_model(args.ckpt)
+    model, params = load_model(args.ckpt, avg_last_k=args.avg_last_k)
     cfg = model.config
     fs = int(cfg.model.fs)
     n_src = int(cfg.model.n_speakers)
@@ -254,6 +259,8 @@ def main(argv=None):
         f"N-{N}_snr-{snr}_corrstep-{corrector_steps}"
         f"_denoise-{args.denoise}_schedule-{args.schedule}"
     )
+    if args.avg_last_k and args.avg_last_k > 1:
+        tag_inf += f"_avgk-{args.avg_last_k}"
     tag = args.tag or Path(args.ckpt).stem
     output_dir = args.output_dir / f"{tag}_{tag_inf}"
     output_dir.mkdir(parents=True, exist_ok=True)

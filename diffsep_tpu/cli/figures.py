@@ -189,7 +189,7 @@ def parse_name(name: str) -> dict:
         if "-" not in f:
             continue
         key, _, val = f.partition("-")
-        if key in ("N", "corrstep"):
+        if key in ("N", "corrstep", "avgk"):
             ret[key] = int(val)
         elif key == "snr":
             ret[key] = float(val)

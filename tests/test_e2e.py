@@ -101,6 +101,33 @@ def test_evaluate_cli(trained_run_dir, tmp_path):
     assert summary["number"] == 1
 
 
+def test_evaluate_cli_avg_last_k(trained_run_dir, tmp_path):
+    """--avg-last-k flows through evaluate: the checkpoint-averaged weights
+    drive inference and the result dir is tagged _avgk-K so averaged and
+    plain runs never collide (the run has 1 checkpoint, so this exercises
+    the warn-and-average-all path; the averaging math itself is pinned in
+    test_checkpoint_averaging.py)."""
+    from diffsep_tpu.cli.evaluate import main
+
+    out = tmp_path / "results_avg"
+    main(
+        [
+            str(trained_run_dir),
+            "--test",
+            "-o", str(out),
+            "--limit", "1",
+            "-N", "2",
+            "--save-n", "0",
+            "--avg-last-k", "2",
+        ]
+    )
+    out_dirs = list(out.iterdir())
+    assert len(out_dirs) == 1
+    assert out_dirs[0].name.endswith("_avgk-2")
+    res = json.loads((out_dirs[0] / "test.json").read_text())
+    assert len(res) == 1 and all(np.isfinite(res[0]["si_sdr"]))
+
+
 def test_separate_cli(trained_run_dir, wsj0_tree, tmp_path):
     from diffsep_tpu.cli.separate import main
 
