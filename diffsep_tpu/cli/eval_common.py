@@ -145,3 +145,33 @@ def str2bool(v):
     if v.lower() in ("0", "false", "f", "no", "n"):
         return False
     raise ValueError(f"expected a boolean, got {v!r}")
+
+
+def sampler_flag_map(args) -> dict:
+    """The sampler-override CLI flags (None = not set by the user), for
+    conflict checks against contexts where the sampler is already baked
+    (export artifacts, --torch export). Picks up the shared sampler-flag
+    vocabulary by attribute presence so a CLI that grows one of these
+    flags is covered without touching its conflict check."""
+    m = {}
+    for attr, flag in (
+        ("N", "-N"),
+        ("snr", "--snr"),
+        ("corrector_steps", "--corrector-steps"),
+        ("predictor", "--predictor"),
+        ("corrector", "--corrector"),
+        ("schedule", "--schedule"),
+        ("denoise", "--denoise"),
+    ):
+        if hasattr(args, attr):
+            m[flag] = getattr(args, attr)
+    return m
+
+
+def reject_baked_flags(set_map: dict, why: str) -> None:
+    """SystemExit naming every flag in `set_map` with a non-None value —
+    the one implementation of the sampler-settings-are-baked error shared
+    by separate.py, serve.py and export_model.py."""
+    set_flags = [k for k, v in set_map.items() if v is not None]
+    if set_flags:
+        raise SystemExit(f"{', '.join(set_flags)}: {why}")

@@ -271,7 +271,13 @@ def main(argv=None):
             f"_denoise-{args.denoise}_schedule-{args.schedule}"
         )
         if args.avg_last_k and args.avg_last_k > 1:
-            tag_inf += f"_avgk-{args.avg_last_k}"
+            # tag the number ACTUALLY averaged (fewer checkpoints may
+            # exist than requested) so a later run on the same dir with
+            # more checkpoints lands in a different result dir
+            from .loading import resolve_avg_steps
+
+            k_eff = len(resolve_avg_steps(args.ckpt, args.avg_last_k))
+            tag_inf += f"_avgk-{k_eff}"
         # resolve() first: a bare relative filename ("checkpoint.pt") has no
         # parents[1] and raised IndexError
         exp_name = (
@@ -299,14 +305,83 @@ def main(argv=None):
 
 
 def evaluate_datamodule(model, state, dm, output_dir):
-    """Post-training test hook used by cli/train.py (test=true)."""
+    """Post-training test hook used by cli/train.py (test=true).
+
+    Multi-process runs shard the split: every process scores a contiguous
+    index range (reference semantics — Lightning's DistributedSampler
+    shards trainer.test across DDP ranks), writes a partial result file,
+    and rank 0 merges after a barrier. Rank-GATING instead would leave
+    ranks 1..P-1 exiting while rank 0 runs minutes of inference, and the
+    JAX coordination-service shutdown barrier kills the stragglers'
+    coordinator — the same failure mode the 2-process test workers guard
+    against with sync_global_devices."""
     params = state.ema.params if state is not None else None
     fs = int(model.config.model.fs)
-    evaluate_split(
-        model, params, dm.datasets.get("test") or dm.test_dataloader().dataset,
-        "test", Path(output_dir), fs=fs,
-        sampler_kwargs=dict(model.sampler_kwargs),
+    dataset = dm.datasets.get("test") or dm.test_dataloader().dataset
+    output_dir = Path(output_dir)
+    n_proc = jax.process_count()
+    if n_proc == 1:
+        return evaluate_split(
+            model, params, dataset, "test", output_dir, fs=fs,
+            sampler_kwargs=dict(model.sampler_kwargs),
+        )
+
+    from jax.experimental import multihost_utils
+
+    from ..data.vctk_demand import Subset
+
+    # state lives on the global mesh but each process evaluates its own
+    # data: pull a host-local copy pinned to a local device (same pattern
+    # as multi-host validation, train/loop.py). Cross-process-sharded
+    # leaves (fsdp) cannot be device_get directly — gather each to
+    # replicated first (per leaf: peak extra device memory = one leaf).
+    if params is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        def _host_pull(leaf):
+            if hasattr(leaf, "is_fully_addressable") and not leaf.is_fully_addressable:
+                leaf = jax.jit(
+                    lambda x: x,
+                    out_shardings=NamedSharding(
+                        leaf.sharding.mesh, PartitionSpec()
+                    ),
+                )(leaf)
+            return np.asarray(jax.device_get(leaf))
+
+        params = jax.device_put(
+            jax.tree_util.tree_map(_host_pull, params),
+            jax.local_devices()[0],
+        )
+    rank = jax.process_index()
+    n = len(dataset)
+    per = -(-n // n_proc)
+    start, stop = min(rank * per, n), min((rank + 1) * per, n)
+    if stop > start:
+        evaluate_split(
+            model, params, Subset(dataset, range(start, stop)), "test",
+            output_dir / f"part{rank}", fs=fs,
+            sampler_kwargs=dict(model.sampler_kwargs),
+        )
+    # shards are balanced, so the skew at this barrier is bounded by a
+    # few utterances, not the whole split
+    multihost_utils.sync_global_devices("post_train_test_eval_done")
+    if rank != 0:
+        return None  # rank 0 merges and returns (results, summary)
+    results = []
+    for i in range(n_proc):
+        part = output_dir / f"part{i}" / "test.json"
+        if part.exists():
+            results.extend(json.loads(part.read_text()))
+    for j, rec in enumerate(results):  # per-shard indices -> global order
+        rec["batch_idx"] = j
+    with open(output_dir / "test.json", "w") as f:
+        json.dump(results, f, indent=2)
+    summary = summarize(
+        [{k: v for k, v in r.items() if k != "batch_idx"} for r in results]
     )
+    with open(output_dir / "test_summary.json", "w") as f:
+        json.dump(summary, f, indent=2)
+    return results, summary
 
 
 if __name__ == "__main__":

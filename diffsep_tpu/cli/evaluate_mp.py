@@ -260,7 +260,12 @@ def main(argv=None):
         f"_denoise-{args.denoise}_schedule-{args.schedule}"
     )
     if args.avg_last_k and args.avg_last_k > 1:
-        tag_inf += f"_avgk-{args.avg_last_k}"
+        # tag the number ACTUALLY averaged (see evaluate.py) so requested-k
+        # and effective-k runs never collide in one result dir
+        from .loading import resolve_avg_steps
+
+        k_eff = len(resolve_avg_steps(args.ckpt, args.avg_last_k))
+        tag_inf += f"_avgk-{k_eff}"
     tag = args.tag or Path(args.ckpt).stem
     output_dir = args.output_dir / f"{tag}_{tag_inf}"
     output_dir.mkdir(parents=True, exist_ok=True)

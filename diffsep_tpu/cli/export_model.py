@@ -64,16 +64,13 @@ def main(argv=None):
     )
 
     if args.torch:
-        baked = {"-N": args.N, "--predictor": args.predictor,
-                 "--corrector": args.corrector, "--snr": args.snr,
-                 "--corrector-steps": args.corrector_steps,
-                 "--schedule": args.schedule}
-        set_flags = [k for k, v in baked.items() if v is not None]
-        if set_flags:
-            raise SystemExit(
-                f"{', '.join(set_flags)}: sampler flags do not apply to "
-                "--torch (the reference chooses its sampler at run time)"
-            )
+        from .eval_common import reject_baked_flags, sampler_flag_map
+
+        reject_baked_flags(
+            sampler_flag_map(args),
+            "sampler flags do not apply to --torch (the reference chooses "
+            "its sampler at run time)",
+        )
         from ..models.convert import save_reference_checkpoint
 
         save_reference_checkpoint(args.output, params, model.config)

@@ -87,6 +87,43 @@ def load_torch_checkpoint(path: Path) -> Tuple[DiffSepModel, dict]:
     return model, params
 
 
+def _resolve_run_dir(ckpt: Path, step: Optional[int]):
+    """Map any run-dir/step-dir path to (run_dir, step); a step-dir path
+    (run/checkpoints/<step>, evaluate.py:262 layout) pins the step."""
+    if (ckpt / "hparams.yaml").exists():
+        return ckpt, step
+    if (ckpt.parents[1] / "hparams.yaml").exists():
+        if step is None and ckpt.name.isdigit():
+            step = int(ckpt.name)
+        return ckpt.parents[1], step
+    raise FileNotFoundError(f"no hparams.yaml found near {ckpt}")
+
+
+def resolve_avg_steps(
+    ckpt: str | Path, avg_last_k: int, step: Optional[int] = None
+) -> list:
+    """The checkpoint steps `load_model(avg_last_k=k, step=step)` will
+    average: the k most recent, anchored at `step` when given (only steps
+    <= step qualify). Cheap directory listing — use this to build result
+    tags so the tag records the number ACTUALLY averaged when fewer than
+    k checkpoints exist."""
+    run_dir, step = _resolve_run_dir(Path(ckpt), step)
+    steps = sorted(
+        int(p.name)
+        for p in (run_dir / "checkpoints").iterdir()
+        if p.name.isdigit()
+    )
+    if step is not None:
+        steps = [s for s in steps if s <= step]
+        if not steps:
+            raise FileNotFoundError(
+                f"no checkpoints at or before step {step} in {run_dir}"
+            )
+    if not steps:
+        raise FileNotFoundError(f"no checkpoints in {run_dir}")
+    return steps[-avg_last_k:]
+
+
 def load_model(
     ckpt: str | Path,
     step: Optional[int] = None,
@@ -98,8 +135,10 @@ def load_model(
     `avg_last_k=k` returns the elementwise mean of the k most recent
     checkpoints' evaluation weights (checkpoint averaging / Polyak-style
     ensembling on top of the per-step EMA) — a standard accuracy lever at
-    zero inference cost the reference does not ship. Requires an orbax
-    run/step dir (torch checkpoints are single files)."""
+    zero inference cost the reference does not ship. An explicit `step`
+    (argument or step-dir path) anchors the window: only checkpoints at
+    or before it are averaged. Requires an orbax run/step dir (torch
+    checkpoints are single files)."""
     ckpt = Path(ckpt)
     if ckpt.is_file():
         if avg_last_k and avg_last_k > 1:
@@ -110,14 +149,9 @@ def load_model(
         return load_torch_checkpoint(ckpt)
 
     # run-dir or step-dir layout
-    if (ckpt / "hparams.yaml").exists():
-        run_dir = ckpt
-    elif (ckpt.parents[1] / "hparams.yaml").exists():  # evaluate.py:262 layout
-        run_dir = ckpt.parents[1]
-        if step is None and ckpt.name.isdigit():
-            step = int(ckpt.name)
-    else:
-        raise FileNotFoundError(f"no hparams.yaml found near {ckpt}")
+    run_dir, step = _resolve_run_dir(ckpt, step)
+    # an explicit step (arg or step-dir path) anchors checkpoint averaging
+    anchor = step
 
     with open(run_dir / "hparams.yaml") as f:
         cfg = _config_from_hparams(yaml.safe_load(f))
@@ -139,15 +173,16 @@ def load_model(
     template = jax.device_get(state)
 
     if avg_last_k and avg_last_k > 1:
-        steps = sorted(mgr.all_steps())[-avg_last_k:]
-        if not steps:
-            raise FileNotFoundError(f"no checkpoints in {run_dir}")
+        steps = resolve_avg_steps(run_dir, avg_last_k, step=anchor)
         if len(steps) < avg_last_k:
             log.warning(
                 "avg_last_k=%d but only %d checkpoints exist; averaging %d",
                 avg_last_k, len(steps), len(steps),
             )
         acc = None
+        # restores the full TrainState per checkpoint (orbax StandardRestore
+        # has no cheap sub-tree restore against our saved layout); params-
+        # only restore would cut I/O ~4x if averaging ever becomes hot
         for s in steps:
             st = mgr.restore(template, step=s)
             p = jax.device_get(st.ema.params if use_ema else st.params)

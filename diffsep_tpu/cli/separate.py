@@ -122,22 +122,18 @@ def main(argv=None):
         # export artifact: the sampler + weights are baked in; batch wavs
         # through the artifact's static contract via the serving engine
         # (same output layout: s{i}/{stem}.wav)
-        conflicts = {
-            "-N": args.N, "--snr": args.snr,
-            "--corrector-steps": args.corrector_steps,
-            "--schedule": args.schedule,
-            "--predictor": args.predictor, "--corrector": args.corrector,
-            "--denoise": args.denoise,
-            "--stream-chunk-s": args.stream_chunk_s,
-            "--avg-last-k": args.avg_last_k,
-        }
-        set_flags = [k for k, v in conflicts.items() if v is not None]
-        if set_flags:
-            raise SystemExit(
-                f"{', '.join(set_flags)}: not available with an export "
-                "artifact — sampler settings are baked at export time "
-                "(cli/export_model.py) and streaming needs a live model"
-            )
+        from .eval_common import reject_baked_flags, sampler_flag_map
+
+        reject_baked_flags(
+            {
+                **sampler_flag_map(args),
+                "--stream-chunk-s": args.stream_chunk_s,
+                "--avg-last-k": args.avg_last_k,
+            },
+            "not available with an export artifact — sampler settings are "
+            "baked at export time (cli/export_model.py) and streaming "
+            "needs a live model",
+        )
         from ..export import load_separator
         from .serve import ArtifactEngine
 

@@ -252,18 +252,13 @@ def _is_artifact(path: Path) -> bool:
 
 def _engine_from_args(args):
     if _is_artifact(args.model):
-        baked = {
-            "-N": args.N, "--snr": args.snr,
-            "--corrector-steps": args.corrector_steps,
-            "--predictor": args.predictor, "--corrector": args.corrector,
-        }
-        set_flags = [k for k, v in baked.items() if v is not None]
-        if set_flags:
-            raise SystemExit(
-                f"{', '.join(set_flags)}: sampler settings are baked into "
-                "the artifact at export time (cli/export_model.py); "
-                "re-export to change them"
-            )
+        from .eval_common import reject_baked_flags, sampler_flag_map
+
+        reject_baked_flags(
+            sampler_flag_map(args),
+            "sampler settings are baked into the artifact at export time "
+            "(cli/export_model.py); re-export to change them",
+        )
         from ..export import load_separator
 
         eng = ArtifactEngine(load_separator(args.model), seed=args.seed)

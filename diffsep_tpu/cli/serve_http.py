@@ -263,6 +263,10 @@ def _make_handler(server: HTTPSeparationServer):
 
         def do_POST(self):
             if self.path not in ("/v1/separate", "/separate"):
+                # body not read: under HTTP/1.1 keep-alive the unread wav
+                # bytes would be parsed as the next request line, breaking
+                # the connection for subsequent legitimate requests
+                self.close_connection = True
                 self._send_json(404, {"error": f"no route {self.path}"})
                 return
             try:
@@ -270,6 +274,7 @@ def _make_handler(server: HTTPSeparationServer):
             except ValueError:
                 length = 0
             if length <= 0:
+                self.close_connection = True  # body length unknown/unread
                 self._send_json(
                     400, {"error": "empty body; POST wav bytes"}
                 )
@@ -325,6 +330,10 @@ def _make_handler(server: HTTPSeparationServer):
             self.send_response(code)
             self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(body)))
+            if self.close_connection:
+                # tell the client the socket will not be reused (set on
+                # early-return paths that never read the request body)
+                self.send_header("Connection", "close")
             for k, v in (extra or {}).items():
                 self.send_header(k, v)
             self.end_headers()

@@ -97,13 +97,11 @@ def main(argv=None):
 
     if cfg.get("test", False):
         from ..cli.evaluate import evaluate_datamodule
-        from ..utils.distributed import is_rank_zero
 
-        # rank-gated: the eval loader sees the FULL split by design, so on
-        # multi-process runs every rank would duplicate the inference and
-        # race on the same result files in the shared run dir
-        if is_rank_zero():
-            evaluate_datamodule(model, state, dm, run_dir / "test_results")
+        # multi-process: evaluate_datamodule shards the split per process
+        # and merges on rank 0 — rank-GATING here would create minutes of
+        # exit skew and trip the coordination-service shutdown barrier
+        evaluate_datamodule(model, state, dm, run_dir / "test_results")
     return state
 
 

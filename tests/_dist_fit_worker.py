@@ -52,6 +52,10 @@ class _DS:
 
 
 class _DM:
+    # 3 items over 2 processes: contiguous shards of 2 and 1 exercise the
+    # unbalanced-range path of the sharded post-train test eval
+    datasets = {"test": _DS(3)}
+
     def train_dataloader(self):
         # auto-shards per process (the thing under test)
         return DataLoader(_DS(), batch_size=2, shuffle=True, prefetch=0)
@@ -117,10 +121,21 @@ if sharded:
 else:
     host_leaves = [np.asarray(jax.device_get(l)) for l in leaves]
 
+# post-train test eval: every process scores a contiguous shard, rank 0
+# merges (cli/train.py test=true path — rank-gating here used to create
+# exit skew that tripped the coordination-service shutdown barrier)
+from diffsep_tpu.cli.evaluate import evaluate_datamodule
+
+# the return (not the shared file) tells which rank merged: the file
+# appears for BOTH ranks once rank 0 has written it, racing a file probe
+_ret = evaluate_datamodule(model, state, _DM(), workdir / "test_results")
+n_test_merged = len(_ret[0]) if _ret is not None else 0
+
 report = {
     "pid": pid,
     "rank_zero": bool(is_rank_zero()),
     "step": step,
+    "n_test_merged": n_test_merged,
     "n_sharded_leaves": len(sharded),
     "has_hparams": (workdir / "hparams.yaml").exists(),
     "ckpt_steps": sorted(

@@ -100,6 +100,30 @@ def test_avg_last_k_raw_params(run_with_three_checkpoints):
     _assert_tree_offset(params, base_raw, 9.0)  # mean of (+6, +12)
 
 
+def test_avg_last_k_anchored_at_step(run_with_three_checkpoints):
+    """An explicit step anchors the averaging window: only checkpoints at
+    or before it qualify (export_model --step N --avg-last-k k must not
+    silently average later checkpoints)."""
+    run, base, _ = run_with_three_checkpoints
+    # steps <= 2 have EMA offsets +0 and +3 -> mean +1.5
+    _, params = load_model(run, step=2, avg_last_k=2)
+    _assert_tree_offset(params, base, 1.5)
+    # step-dir path pins the anchor the same way
+    _, params = load_model(run / "checkpoints" / "2", avg_last_k=2)
+    _assert_tree_offset(params, base, 1.5)
+
+
+def test_resolve_avg_steps(run_with_three_checkpoints):
+    from diffsep_tpu.cli.loading import resolve_avg_steps
+
+    run, _, _ = run_with_three_checkpoints
+    assert resolve_avg_steps(run, 2) == [2, 3]
+    assert resolve_avg_steps(run, 10) == [1, 2, 3]  # effective k for tags
+    assert resolve_avg_steps(run, 2, step=2) == [1, 2]
+    with pytest.raises(FileNotFoundError, match="at or before"):
+        resolve_avg_steps(run, 2, step=0)
+
+
 def test_avg_last_k_rejects_torch_single_file(tmp_path):
     f = tmp_path / "x.ckpt"
     f.write_bytes(b"")

@@ -103,10 +103,11 @@ def test_evaluate_cli(trained_run_dir, tmp_path):
 
 def test_evaluate_cli_avg_last_k(trained_run_dir, tmp_path):
     """--avg-last-k flows through evaluate: the checkpoint-averaged weights
-    drive inference and the result dir is tagged _avgk-K so averaged and
-    plain runs never collide (the run has 1 checkpoint, so this exercises
-    the warn-and-average-all path; the averaging math itself is pinned in
-    test_checkpoint_averaging.py)."""
+    drive inference and the result dir is tagged with the number of
+    checkpoints ACTUALLY averaged so averaged and plain runs never collide
+    (the run has 1 checkpoint, so --avg-last-k 2 exercises the
+    warn-and-average-all path and must tag _avgk-1, not _avgk-2; the
+    averaging math itself is pinned in test_checkpoint_averaging.py)."""
     from diffsep_tpu.cli.evaluate import main
 
     out = tmp_path / "results_avg"
@@ -123,7 +124,7 @@ def test_evaluate_cli_avg_last_k(trained_run_dir, tmp_path):
     )
     out_dirs = list(out.iterdir())
     assert len(out_dirs) == 1
-    assert out_dirs[0].name.endswith("_avgk-2")
+    assert out_dirs[0].name.endswith("_avgk-1")
     res = json.loads((out_dirs[0] / "test.json").read_text())
     assert len(res) == 1 and all(np.isfinite(res[0]["si_sdr"]))
 

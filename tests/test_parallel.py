@@ -242,6 +242,10 @@ def test_two_process_fit_cpu(tmp_path, strategy):
     np.testing.assert_allclose(
         reports[0]["param_sum"], reports[1]["param_sum"], rtol=1e-6
     )
+    # post-train test eval: sharded per process (2+1 of the 3 items),
+    # merged on rank 0 only
+    assert reports[0]["n_test_merged"] == 3
+    assert reports[1]["n_test_merged"] == 0
 
 
 def test_tp_separate_matches_replicated():
