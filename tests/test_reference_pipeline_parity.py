@@ -15,6 +15,12 @@ deterministic parts step for step:
   * MixSDE marginal_prob mean + std operator     (sdes.py:286-332)
   * reverse_diffusion predictor x_mean           (predictors.py:55-66)
   * ald2 corrector x_mean                        (correctors.py:94-128)
+  * the TRAINING loss family, against pl_model.py run in-process with
+    identical injected random draws on both sides:
+      - plain score loss + init hacks 1-4        (pl_model.py:179-247,411-424)
+      - mmnr-gated PIT loss                      (pl_model.py:249-325)
+      - all-the-time PIT loss                    (pl_model.py:327-368)
+      - init-hack PIT loss (t pinned to T)       (pl_model.py:370-405)
 
 torchaudio and hydra are not installed in this image; the reference only
 uses torchaudio.transforms.{Spectrogram,InverseSpectrogram}, which are thin
@@ -407,3 +413,354 @@ def test_ald2_corrector_step(pair, ref_sdes, rng):
     np.testing.assert_allclose(
         np.asarray(x_mean_o), ref_np, atol=2e-3 * scale, rtol=2e-3
     )
+
+
+# ===========================================================================
+# Training-loss parity vs the ACTUAL reference pl_model.py
+# ===========================================================================
+#
+# The loss functions are methods on DiffSepModel (a LightningModule), but
+# they only touch self.{sde, loss, t_eps, t_max, time_sampling_strategy,
+# init_hack, t_rev_init, config.model.mmnr_thresh_pit} and self(x, t, mix).
+# We bind the reference's UNBOUND methods to a duck-typed harness carrying
+# the real reference MixSDE and the torch score model from `pair` — no
+# Lightning machinery runs.  Randomness is injected identically on both
+# sides (fixed time/z/selection draws), so the comparison pins the loss
+# ALGEBRA (whitened MSE, mixture-consistent noise redefinition, mmnr gate,
+# perm-min) and our single-fused-forward rewrites against the reference's
+# multi-forward originals.
+
+
+def _install_ref_pl_stubs():
+    """Module stubs needed to import /root/reference/pl_model.py itself
+    (fast_bss_eval / omegaconf / torch_ema are not in the image; the
+    bare pytorch_lightning stub from _install_pl_stub gains the class
+    attributes pl_model.py references at import time)."""
+    import contextlib
+
+    _install_pl_stub()
+    _install_hydra_stub()
+    pl = sys.modules["pytorch_lightning"]
+    if not hasattr(pl, "LightningModule"):
+        pl.LightningModule = torch.nn.Module
+    if "pytorch_lightning.callbacks" not in sys.modules:
+        cb = types.ModuleType("pytorch_lightning.callbacks")
+
+        class ModelCheckpoint:  # only referenced, never constructed
+            pass
+
+        cb.ModelCheckpoint = ModelCheckpoint
+        pl.callbacks = cb
+        sys.modules["pytorch_lightning.callbacks"] = cb
+    if "fast_bss_eval" not in sys.modules:
+        sys.modules["fast_bss_eval"] = types.ModuleType("fast_bss_eval")
+    hyu = sys.modules["hydra.utils"]
+    if not hasattr(hyu, "to_absolute_path"):
+        hyu.to_absolute_path = lambda p: p
+    if "omegaconf" not in sys.modules:
+        om = types.ModuleType("omegaconf")
+        omo = types.ModuleType("omegaconf.omegaconf")
+
+        @contextlib.contextmanager
+        def open_dict(x):
+            yield x
+
+        omo.open_dict = open_dict
+        om.omegaconf = omo
+        sys.modules["omegaconf"] = om
+        sys.modules["omegaconf.omegaconf"] = omo
+    if "torch_ema" not in sys.modules:
+        te = types.ModuleType("torch_ema")
+
+        class ExponentialMovingAverage:
+            def __init__(self, parameters, decay):
+                pass
+
+        te.ExponentialMovingAverage = ExponentialMovingAverage
+        sys.modules["torch_ema"] = te
+
+
+@pytest.fixture(scope="module")
+def ref_pl(ref_sdes):
+    _install_ref_pl_stubs()
+    sys.path.insert(0, str(REF))
+    try:
+        import pl_model as ref_pl_mod
+    finally:
+        sys.path.remove(str(REF))
+    return ref_pl_mod
+
+
+class _RefHarness:
+    """Duck-typed `self` for the reference DiffSepModel's loss methods."""
+
+    def __init__(self, ref_pl_mod, tm, sde, mmnr_thresh_pit=-10.0):
+        import types as _t
+
+        self._tm = tm
+        self.sde = sde
+        self.loss = torch.nn.MSELoss(reduction="none")
+        self.t_eps = 0.03
+        self.t_max = sde.T
+        self.time_sampling_strategy = "uniform"
+        self.init_hack = False
+        self.t_rev_init = 0.03
+        model_ns = _t.SimpleNamespace(mmnr_thresh_pit=mmnr_thresh_pit)
+        self.config = _t.SimpleNamespace(model=model_ns)
+        M = ref_pl_mod.DiffSepModel
+        for name in (
+            "sample_prior",
+            "compute_score_loss",
+            "compute_score_loss_with_pit",
+            "compute_score_loss_with_pit_allthetime",
+            "compute_score_loss_init_hack_pit",
+        ):
+            setattr(self, name, _t.MethodType(getattr(M, name), self))
+
+    def __call__(self, xt, time, mix):
+        return self._tm(xt, time, mix)
+
+
+def _loss_fixture(pair, ref_sdes, ref_pl, rng, mmnr_thresh=-10.0):
+    """(harness, our sde, our score_fn, mix, target) with fresh data."""
+    ref_sdes_mod, _, _ = ref_sdes
+    tm, model, params = pair
+    sde_ref = ref_sdes_mod.MixSDE(**SDE_ARGS)
+    h = _RefHarness(ref_pl, tm, sde_ref, mmnr_thresh_pit=mmnr_thresh)
+
+    from diffsep_tpu.sde import MixSDE
+
+    sde_o = MixSDE(**SDE_ARGS)
+
+    def score_fn(x, t, c):
+        return model.score_apply(params, x, t, c)
+
+    n = 1984
+    target = _rand(rng, 4, 2, n) * 0.3
+    mix = target.sum(axis=1, keepdims=True)
+    return h, sde_o, score_fn, mix, target
+
+
+def _patch_draws(monkeypatch, ref_pl, TIME, Z, U=None, SEL=None):
+    """Inject the same (time, z, uniform, perm-select) draws on both sides."""
+    import jax.random as jrandom
+
+    from diffsep_tpu.train import losses as losses_mod
+
+    # ---- torch side --------------------------------------------------
+    monkeypatch.setattr(
+        torch, "randn_like", lambda x: torch.from_numpy(Z).to(x.dtype)
+    )
+    if U is not None:
+        monkeypatch.setattr(
+            torch, "rand_like", lambda x: torch.from_numpy(U).to(x.dtype)
+        )
+    if SEL is not None:
+
+        def fake_select(x, dim=-1, batch_dim=0):
+            xm = x.moveaxis(dim, -1)
+            sel = torch.from_numpy(SEL).long()
+            sel = torch.broadcast_to(
+                sel[(...,) + (None,) * (xm.ndim - 1)], xm.shape[:-1] + (1,)
+            )
+            return torch.gather(xm, -1, sel).moveaxis(-1, dim)
+
+        monkeypatch.setattr(ref_pl, "select_elem_at_random", fake_select)
+
+    # ---- jax side -----------------------------------------------------
+    def fake_sample_time(key, sde, n, t_eps, strategy="uniform"):
+        assert n == TIME.shape[0]
+        return jnp.asarray(TIME)
+
+    monkeypatch.setattr(losses_mod, "sample_time", fake_sample_time)
+
+    def fake_normal(key, shape, dtype=jnp.float32):
+        assert tuple(shape) == Z.shape, (shape, Z.shape)
+        return jnp.asarray(Z, dtype)
+
+    monkeypatch.setattr(jrandom, "normal", fake_normal)
+
+    if U is not None:
+
+        def fake_uniform(key, shape=(), dtype=jnp.float32, minval=0.0,
+                         maxval=1.0):
+            assert tuple(shape) == U.shape, (shape, U.shape)
+            return jnp.asarray(U, dtype)
+
+        monkeypatch.setattr(jrandom, "uniform", fake_uniform)
+
+    if SEL is not None:
+
+        def fake_randint(key, shape, minval, maxval, dtype=jnp.int32):
+            assert tuple(shape) == SEL.shape
+            return jnp.asarray(SEL, dtype)
+
+        monkeypatch.setattr(jrandom, "randint", fake_randint)
+
+
+def _loss_tol(ours, ref):
+    # Tight on purpose: independent (un-synced) z draws would already move
+    # these losses by ~1/sqrt(n_samples) ~ 1.6%, so the tolerance must sit
+    # well below that for the parity to prove the draws are shared.
+    ours = np.asarray(ours)
+    np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=2e-3)
+
+
+@pytest.mark.parametrize("hack", [False, 1, 2, 3, 4])
+def test_train_score_loss_parity(pair, ref_sdes, ref_pl, rng, monkeypatch,
+                                 hack):
+    """Plain score loss and init hacks 1-4 (mixture-spliced priors near
+    t = T) against the reference sample_prior + compute_score_loss
+    (pl_model.py:179-247, 411-424) with identical (time, z, select) draws.
+    Times straddle the T - t_rev_init threshold so both branches of hacks
+    1-3 and the interpolation weight of hack 2/3 are exercised."""
+    h, sde_o, score_fn, mix, target = _loss_fixture(pair, ref_sdes, ref_pl,
+                                                    rng)
+    B = target.shape[0]
+    TIME = np.array([0.995, 0.975, 0.5, 0.2], np.float32)
+    Z = _rand(rng, B, 2, target.shape[-1])
+    U = np.array([0.1, 0.9, 0.3, 0.05], np.float32)  # hack 4: rows 0,3 at T
+    _patch_draws(monkeypatch, ref_pl, TIME, Z, U=U)
+
+    h.init_hack = hack
+    h.sample_time = lambda x: torch.from_numpy(TIME)
+    with torch.no_grad():
+        ref = h.compute_score_loss(
+            torch.from_numpy(mix), torch.from_numpy(target)
+        ).numpy()
+
+    from diffsep_tpu.train import losses as losses_mod
+
+    ours = losses_mod.compute_score_loss(
+        jax.random.PRNGKey(0), sde_o, score_fn, jnp.asarray(mix),
+        jnp.asarray(target), t_eps=0.03, init_hack=hack, t_rev_init=0.03,
+    )
+    assert ref.shape == (B,)
+    _loss_tol(ours, ref)
+
+
+@pytest.mark.parametrize("thresh_mode", ["all_reg", "all_pit", "mixed"])
+def test_train_pit_loss_parity(pair, ref_sdes, ref_pl, rng, monkeypatch,
+                               thresh_mode):
+    """mmnr-gated PIT loss (pl_model.py:249-325).  The reference runs the
+    network once per gate branch on broadcast inputs and concatenates
+    [pit-subset, regular-subset]; ours runs ONE forward and gates with
+    where().  We reconstruct the reference's ordering from the mmnr mask
+    computed independently in the test."""
+    h, sde_o, score_fn, mix, target = _loss_fixture(pair, ref_sdes, ref_pl,
+                                                    rng)
+    B = target.shape[0]
+    TIME = np.array([0.9, 0.7, 0.4, 0.1], np.float32)
+    Z = _rand(rng, B, 2, target.shape[-1])
+    SEL = np.array([0, 1, 1, 0], np.int64)
+    _patch_draws(monkeypatch, ref_pl, TIME, Z, SEL=SEL)
+    h.sample_time = lambda x: torch.from_numpy(TIME)
+
+    # independent mmnr computation to pick the threshold + known gate mask
+    with torch.no_grad():
+        t_t = torch.from_numpy(TIME)
+        tgt_t = torch.from_numpy(target)
+        means = torch.stack(
+            [
+                h.sde.marginal_prob(tgt_t[:, p, :], t_t, None)[0]
+                for p in [(0, 1), (1, 0)]
+            ],
+            dim=1,
+        )
+        L_t = h.sde.marginal_prob(tgt_t, t_t, None)[1]
+        Lz = h.sde.mult_std(L_t, torch.from_numpy(Z))
+        mean_sel = means[torch.arange(B), torch.from_numpy(SEL)]
+        err = means - mean_sel[:, None]
+        n_elems = (means.shape[1] - 1) * means.shape[2] * means.shape[3]
+        err_pow = err.square().sum(dim=(1, 2, 3)) / n_elems
+        noise_pow = Lz.square().mean(dim=(1, 2))
+        mmnr = (
+            10.0 * torch.log10(err_pow / noise_pow.clamp(min=1e-5))
+        ).numpy()
+
+    thresh = {
+        "all_reg": float(mmnr.min() - 10.0),
+        "all_pit": float(mmnr.max() + 10.0),
+        "mixed": float(np.median(mmnr)),
+    }[thresh_mode]
+    mask_pit = mmnr < thresh
+    if thresh_mode == "mixed":
+        assert 0 < mask_pit.sum() < B  # both branches genuinely exercised
+
+    h.config.model.mmnr_thresh_pit = thresh
+    with torch.no_grad():
+        ref = h.compute_score_loss_with_pit(
+            torch.from_numpy(mix), torch.from_numpy(target)
+        ).numpy()
+
+    from diffsep_tpu.train import losses as losses_mod
+
+    ours = np.asarray(
+        losses_mod.compute_score_loss_with_pit(
+            jax.random.PRNGKey(0), sde_o, score_fn, jnp.asarray(mix),
+            jnp.asarray(target), t_eps=0.03, mmnr_thresh_pit=thresh,
+        )
+    )
+    # reference ordering: pit subset (batch order) then regular subset
+    ours_ref_order = np.concatenate([ours[mask_pit], ours[~mask_pit]])
+    assert ref.shape == (B,)
+    _loss_tol(ours_ref_order, ref)
+
+
+def test_train_pit_allthetime_loss_parity(pair, ref_sdes, ref_pl, rng,
+                                          monkeypatch):
+    """All-the-time perm-min loss (pl_model.py:327-368): the reference
+    evaluates the network once PER PERMUTATION on the same x_t; ours proves
+    a single forward suffices.  Source shuffling is pinned to identity on
+    both sides so the permutation structure is the test's only freedom."""
+    h, sde_o, score_fn, mix, target = _loss_fixture(pair, ref_sdes, ref_pl,
+                                                    rng)
+    B = target.shape[0]
+    TIME = np.array([0.85, 0.6, 0.35, 0.1], np.float32)
+    Z = _rand(rng, B, 2, target.shape[-1])
+    _patch_draws(monkeypatch, ref_pl, TIME, Z)
+    h.sample_time = lambda x: torch.from_numpy(TIME)
+    monkeypatch.setattr(ref_pl, "shuffle_sources", lambda x: x)
+
+    from diffsep_tpu.train import losses as losses_mod
+
+    monkeypatch.setattr(losses_mod, "shuffle_sources", lambda k, x: x)
+
+    with torch.no_grad():
+        ref = h.compute_score_loss_with_pit_allthetime(
+            torch.from_numpy(mix), torch.from_numpy(target)
+        ).numpy()
+    ours = losses_mod.compute_score_loss_with_pit_allthetime(
+        jax.random.PRNGKey(0), sde_o, score_fn, jnp.asarray(mix),
+        jnp.asarray(target), t_eps=0.03,
+    )
+    assert ref.shape == (B,)
+    _loss_tol(ours, ref)
+
+
+def test_train_init_hack_pit_loss_parity(pair, ref_sdes, ref_pl, rng,
+                                         monkeypatch):
+    """Mixture-consistent perm-min loss at t = T (pl_model.py:370-405).
+    Ours exploits x_t = mix + L z0 for EVERY permutation (one forward);
+    the reference recomputes x_t per permutation — parity here proves the
+    identity on the real network, not just algebraically."""
+    h, sde_o, score_fn, mix, target = _loss_fixture(pair, ref_sdes, ref_pl,
+                                                    rng)
+    B = target.shape[0]
+    Z = _rand(rng, B, 2, target.shape[-1])
+    TIME = np.full((B,), 1.0, np.float32)  # unused: t pinned internally
+    _patch_draws(monkeypatch, ref_pl, TIME, Z)
+
+    with torch.no_grad():
+        ref = h.compute_score_loss_init_hack_pit(
+            torch.from_numpy(mix), torch.from_numpy(target)
+        ).numpy()
+
+    from diffsep_tpu.train import losses as losses_mod
+
+    ours = losses_mod.compute_score_loss_init_hack_pit(
+        jax.random.PRNGKey(0), sde_o, score_fn, jnp.asarray(mix),
+        jnp.asarray(target),
+    )
+    assert ref.shape == (B,)
+    _loss_tol(ours, ref)
