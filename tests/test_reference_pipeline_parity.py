@@ -764,3 +764,127 @@ def test_train_init_hack_pit_loss_parity(pair, ref_sdes, ref_pl, rng,
     )
     assert ref.shape == (B,)
     _loss_tol(ours, ref)
+
+
+# ===========================================================================
+# Full PC-sampler LOOP parity vs the reference's get_pc_sampler /
+# get_pc_scheduled_sampler (sdes/__init__.py:46-190)
+# ===========================================================================
+#
+# Single predictor/corrector steps are pinned above; these run the ENTIRE
+# N-step reverse process on both sides with the noise forced to zero
+# (torch.randn_like / jax.random.normal -> 0), making the loop fully
+# deterministic.  That pins everything the step tests cannot see: the
+# timestep grid (plain N-point linspace vs scheduled N+1-point grids with
+# per-step dt), prior start x_T = mix/2, corrector-then-predictor ordering,
+# the corrector_steps inner loop, denoise semantics, and nfe accounting.
+
+
+def _zero_noise(monkeypatch):
+    import jax.random as jrandom
+
+    monkeypatch.setattr(torch, "randn_like", lambda x: torch.zeros_like(x))
+    monkeypatch.setattr(
+        jrandom,
+        "normal",
+        lambda key, shape, dtype=jnp.float32: jnp.zeros(shape, dtype),
+    )
+
+
+@pytest.fixture(scope="module")
+def ref_sampling(ref_sdes):
+    """The reference package-level sampler factories (sdes/__init__.py)."""
+    import sdes as ref_sdes_pkg  # already imported by ref_sdes
+
+    return ref_sdes_pkg
+
+
+@pytest.mark.parametrize(
+    "schedule,predictor,corrector,corrector_steps",
+    [
+        (None, "reverse_diffusion", "ald2", 1),   # production operating point
+        (None, "reverse_diffusion", "ald2", 2),   # corrector inner loop
+        (None, "euler_maruyama", "ald2", 1),
+        (None, "reverse_diffusion", "ald", 1),    # scalarized-std corrector
+        ("linear", "reverse_diffusion", "ald2", 1),
+        ("log", "reverse_diffusion", "ald2", 1),
+        ("revlog", "reverse_diffusion", "ald2", 1),
+    ],
+)
+def test_full_pc_loop_parity(pair, ref_sdes, ref_sampling, rng, monkeypatch,
+                             schedule, predictor, corrector, corrector_steps):
+    tm, model, params = pair
+    ref_sdes_mod, _, _ = ref_sdes
+    _zero_noise(monkeypatch)
+
+    n = 1984
+    mix = _rand(rng, 1, 1, n) * 0.3
+    sde_ref = ref_sdes_mod.MixSDE(**SDE_ARGS)
+
+    if schedule is None:
+        ref_fn = ref_sampling.get_pc_sampler(
+            predictor, corrector, sde_ref, tm, torch.from_numpy(mix),
+            denoise=True, eps=3e-2, snr=0.5, corrector_steps=corrector_steps,
+        )
+    else:
+        ref_fn = ref_sampling.get_pc_scheduled_sampler(
+            predictor, corrector, sde_ref, tm, torch.from_numpy(mix),
+            denoise=True, eps=3e-2, snr=0.5, corrector_steps=corrector_steps,
+            schedule=schedule,
+        )
+    with torch.no_grad():
+        ref_x, ref_nfe = ref_fn()
+    ref_x = ref_x.numpy()
+
+    from diffsep_tpu.sampling.pc import pc_sample
+    from diffsep_tpu.sde import MixSDE
+
+    sde_o = MixSDE(**SDE_ARGS)
+    ours_x, ours_nfe = pc_sample(
+        jax.random.PRNGKey(0), sde_o,
+        lambda x, t, c: model.score_apply(params, x, t, c),
+        jnp.asarray(mix), predictor_name=predictor, corrector_name=corrector,
+        denoise=True, eps=3e-2, snr=0.5, corrector_steps=corrector_steps,
+        schedule=schedule,
+    )
+    assert ours_nfe == ref_nfe == SDE_ARGS["N"] * (corrector_steps + 1)
+    ours_x = np.asarray(ours_x)
+    assert ours_x.shape == ref_x.shape == (1, 2, n)
+    scale = max(np.abs(ref_x).max(), 1e-3)
+    # per-NN-eval cross-framework error is ~2e-3*scale (see the single-step
+    # tests); 8-16 evals compound, so the loop tolerance is one notch looser
+    np.testing.assert_allclose(ours_x, ref_x, atol=1e-2 * scale, rtol=1e-2)
+
+
+def test_timestep_grid_parity():
+    """The reverse-time grids themselves, exactly (1e-6): plain N-point
+    linspace(T, eps, N) with native dt (sdes/__init__.py:175) and the three
+    scheduled N+1-point grids with dt_i = |t_i - t_{i+1}|
+    (sdes/__init__.py:92-116)."""
+    import math as _math
+
+    from diffsep_tpu.sampling.pc import make_timesteps
+
+    T, eps, N = 1.0, 3e-2, 7
+    ts, dts = make_timesteps(T, eps, N, None)
+    np.testing.assert_allclose(
+        np.asarray(ts), torch.linspace(T, eps, N).numpy(), atol=1e-6
+    )
+    np.testing.assert_allclose(np.asarray(dts), np.full(N, 1.0 / N), atol=0)
+
+    grids = {
+        "linear": torch.linspace(T, eps, N + 1),
+        "log": torch.logspace(
+            _math.log10(T), _math.log10(eps), N + 1, base=10
+        ),
+        "revlog": torch.logspace(
+            _math.log10(eps), _math.log10(T), N + 1, base=10
+        ).flip(dims=(0,)),
+    }
+    for name, grid in grids.items():
+        ts, dts = make_timesteps(T, eps, N, name)
+        g = grid.numpy()
+        np.testing.assert_allclose(np.asarray(ts), g[:-1], atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(dts), np.abs(g[:-1] - g[1:]), atol=1e-6
+        )
