@@ -297,12 +297,101 @@ class Combine(nn.Module):
         raise ValueError(f"Method {self.method} not recognized.")
 
 
+# Above this many grid tokens the (HW, HW) score matrix dominates peak
+# memory (it is what made long utterances and the round-3 sp-sharding probe
+# blow up — ROADMAP "Sequence-parallel inference") and attention switches to
+# the blockwise online-softmax path. 4096 tokens = a 64 MB f32 score matrix
+# per batch row; the shipped 5 s operating point (320 tokens) stays on the
+# naive two-matmul path, so the bench program is byte-identical.
+ATTN_BLOCKWISE_THRESHOLD = 4096
+
+
+def _attn_blockwise(n_tokens: int) -> bool:
+    import os
+
+    flag = os.environ.get("DIFFSEP_ATTN_BLOCKWISE", "")
+    if flag == "1":
+        return True
+    if flag == "0":
+        return False
+    return n_tokens > ATTN_BLOCKWISE_THRESHOLD
+
+
+def blockwise_attention(
+    q: Array,
+    k: Array,
+    v: Array,
+    scale: float,
+    q_block: int = 512,
+    k_block: int = 512,
+) -> Array:
+    """Memory-efficient exact attention: softmax(q k^T * scale) v computed
+    with the online-softmax recurrence over (q_block, k_block) tiles, both
+    tile loops as `lax.scan` so only ONE (q_block, k_block) score tile is
+    live at a time — O(n) peak memory instead of the naive O(n^2).
+
+    Matches the naive path's numerics choices: scores and the softmax
+    statistics in f32, probability tile cast to v.dtype before the MXU
+    matmul, f32 accumulation.  Equal to naive up to reassociation of the
+    per-tile rescaling (tested to 2e-6 in f32).
+    """
+    b, n, c = q.shape
+    nq = -(-n // q_block)
+    nk = -(-n // k_block)
+    qp = jnp.pad(q, ((0, 0), (0, nq * q_block - n), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, nk * k_block - n), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, nk * k_block - n), (0, 0)))
+    # (n_blocks, b, block, c) so scan slices one tile per step
+    q_tiles = qp.reshape(b, nq, q_block, c).transpose(1, 0, 2, 3)
+    k_tiles = kp.reshape(b, nk, k_block, c).transpose(1, 0, 2, 3)
+    v_tiles = vp.reshape(b, nk, k_block, c).transpose(1, 0, 2, 3)
+    # every k tile holds >= 1 valid key (nk = ceil(n / k_block)), so each
+    # score row has a finite max and exp(-inf - finite) = 0 kills the pad
+    k_mask = (jnp.arange(nk * k_block) < n).reshape(nk, k_block)
+
+    def q_step(_, q_tile):
+        m0 = jnp.full((b, q_block), -jnp.inf, jnp.float32)
+        l0 = jnp.zeros((b, q_block), jnp.float32)
+        a0 = jnp.zeros((b, q_block, c), jnp.float32)
+
+        def k_step(carry, tile):
+            m, l, acc = carry
+            k_t, v_t, msk = tile
+            s = jnp.einsum(
+                "bqc,bkc->bqk", q_tile, k_t,
+                preferred_element_type=jnp.float32,
+            ) * scale
+            s = jnp.where(msk[None, None, :], s, -jnp.inf)
+            m_new = jnp.maximum(m, s.max(axis=-1))
+            p = jnp.exp(s - m_new[..., None])
+            alpha = jnp.exp(m - m_new)  # first step: exp(-inf) = 0
+            l = l * alpha + p.sum(axis=-1)
+            acc = acc * alpha[..., None] + jnp.einsum(
+                "bqk,bkc->bqc", p.astype(v_t.dtype), v_t,
+                preferred_element_type=jnp.float32,
+            )
+            return (m_new, l, acc), None
+
+        (m, l, acc), _ = jax.lax.scan(
+            k_step, (m0, l0, a0), (k_tiles, v_tiles, k_mask)
+        )
+        return None, acc / l[..., None]
+
+    _, out_tiles = jax.lax.scan(q_step, None, q_tiles)  # (nq, b, qb, c)
+    out = out_tiles.transpose(1, 0, 2, 3).reshape(b, nq * q_block, c)
+    return out[:, :n]
+
+
 class AttnBlockpp(nn.Module):
     """Self-attention over the full (freq, frames) grid (layerspp.py:62-92).
 
     The reference's bchw,bcij->bhwij einsum materializes the same (HW, HW)
     score matrix; here it is expressed as batched MXU matmuls over a
-    flattened grid.
+    flattened grid — and switches to `blockwise_attention` past
+    ATTN_BLOCKWISE_THRESHOLD tokens so long utterances cost O(n) memory
+    (the time/frames axis is what grows with signal length; the reference
+    OOMs quadratically there).  DIFFSEP_ATTN_BLOCKWISE=1/0 forces the
+    choice either way.
     """
 
     skip_rescale: bool = False
@@ -319,14 +408,18 @@ class AttnBlockpp(nn.Module):
         q = q.reshape(b, h_dim * w_dim, c)
         k = k.reshape(b, h_dim * w_dim, c)
         v = v.reshape(b, h_dim * w_dim, c)
-        # f32 accumulation on the MXU regardless of activation dtype
-        w = jnp.einsum(
-            "bqc,bkc->bqk", q, k, preferred_element_type=jnp.float32
-        ) * (int(c) ** (-0.5))
-        w = jax.nn.softmax(w, axis=-1).astype(x.dtype)
-        h = jnp.einsum(
-            "bqk,bkc->bqc", w, v, preferred_element_type=jnp.float32
-        ).astype(x.dtype)
+        if _attn_blockwise(h_dim * w_dim):
+            h = blockwise_attention(q, k, v, scale=int(c) ** (-0.5))
+            h = h.astype(x.dtype)
+        else:
+            # f32 accumulation on the MXU regardless of activation dtype
+            w = jnp.einsum(
+                "bqc,bkc->bqk", q, k, preferred_element_type=jnp.float32
+            ) * (int(c) ** (-0.5))
+            w = jax.nn.softmax(w, axis=-1).astype(x.dtype)
+            h = jnp.einsum(
+                "bqk,bkc->bqc", w, v, preferred_element_type=jnp.float32
+            ).astype(x.dtype)
         h = h.reshape(b, h_dim, w_dim, c)
         h = NIN(c, init_scale=self.init_scale, name="NIN_3")(h)
         if not self.skip_rescale:
