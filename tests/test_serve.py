@@ -105,8 +105,8 @@ def test_engine_normalizes_on_true_length():
     import jax.numpy as jnp
 
     (_, _), mean_ref, std_ref = normalize_batch(jnp.asarray(wav)[None], None)
-    assert np.isclose(means[0], float(np.asarray(mean_ref)), atol=1e-6)
-    assert np.isclose(stds[0], float(np.asarray(std_ref)), atol=1e-6)
+    assert np.isclose(means[0], np.asarray(mean_ref).item(), atol=1e-6)
+    assert np.isclose(stds[0], np.asarray(std_ref).item(), atol=1e-6)
     # and do NOT depend on the pad length (the original bug: ~sqrt(5) off)
     rows2, means2, stds2 = _normalize_rows([wav], padded=1600)
     assert np.isclose(stds[0], stds2[0])
