@@ -175,3 +175,50 @@ def reject_baked_flags(set_map: dict, why: str) -> None:
     set_flags = [k for k, v in set_map.items() if v is not None]
     if set_flags:
         raise SystemExit(f"{', '.join(set_flags)}: {why}")
+
+
+def sampler_run_config(cfg, args, ckpt):
+    """Resolve the sampler operating point (checkpoint config defaults,
+    overridden by CLI flags) plus the result-dir inference tag that
+    figures.parse_name parses back — ONE implementation shared by
+    evaluate.py and evaluate_mp.py so the dirname schema cannot drift
+    between the two CLIs (the baked-flag conflict check already drifted
+    once for exactly this reason).
+
+    Returns (sampler_kwargs, tag_inf).
+    """
+    sk = dict(cfg.model.get("sampler", {}) or {})
+    N = sk.get("N", 30) if args.N is None else args.N
+    snr = sk.get("snr", 0.5) if args.snr is None else args.snr
+    corrector_steps = (
+        sk.get("corrector_steps", 1)
+        if args.corrector_steps is None
+        else args.corrector_steps
+    )
+    sampler_kwargs = dict(
+        N=N, snr=snr, corrector_steps=corrector_steps,
+        denoise=args.denoise, schedule=args.schedule,
+    )
+    tag_inf = (
+        f"N-{N}_snr-{snr}_corrstep-{corrector_steps}"
+        f"_denoise-{args.denoise}_schedule-{args.schedule}"
+    )
+    predictor = getattr(args, "predictor", None)
+    corrector = getattr(args, "corrector", None)
+    if (predictor, corrector) not in (
+        (None, None), ("reverse_diffusion", "ald2"),
+    ):
+        # non-production sampler pair: without this a ddim run and a PC
+        # run at the same N collide in one result dir (the reference
+        # schema predates alternative predictors); default pair keeps the
+        # reference-compatible dirname
+        tag_inf += f"_pred-{predictor}_corr-{corrector}"
+    if getattr(args, "avg_last_k", None) and args.avg_last_k > 1:
+        # tag the number ACTUALLY averaged (fewer checkpoints may exist
+        # than requested) so requested-k and effective-k runs never
+        # collide in one result dir
+        from .loading import resolve_avg_steps
+
+        k_eff = len(resolve_avg_steps(ckpt, args.avg_last_k))
+        tag_inf += f"_avgk-{k_eff}"
+    return sampler_kwargs, tag_inf

@@ -24,7 +24,10 @@ import yaml
 from ..config.compose import ConfigNode
 from ..data import DataLoader, NoisyDataset, WSJ0_mix
 from ..train.losses import normalize_batch
-from .eval_common import compute_metrics, save_fig, save_samples, summarize, str2bool
+from .eval_common import (
+    compute_metrics, sampler_run_config, save_fig, save_samples, str2bool,
+    summarize,
+)
 from .loading import _config_from_hparams, load_model
 
 log = logging.getLogger(__name__)
@@ -254,30 +257,7 @@ def main(argv=None):
                 datasets[split] = WSJ0_mix(**ds_cfg)
             n_src = 2
 
-        sk = dict(cfg.model.get("sampler", {}) or {})
-        N = sk.get("N", 30) if args.N is None else args.N
-        corrector_steps = (
-            sk.get("corrector_steps", 1)
-            if args.corrector_steps is None
-            else args.corrector_steps
-        )
-        snr = sk.get("snr", 0.5) if args.snr is None else args.snr
-        sampler_kwargs = dict(
-            N=N, snr=snr, corrector_steps=corrector_steps,
-            denoise=args.denoise, schedule=args.schedule,
-        )
-        tag_inf = (
-            f"N-{N}_snr-{snr}_corrstep-{corrector_steps}"
-            f"_denoise-{args.denoise}_schedule-{args.schedule}"
-        )
-        if args.avg_last_k and args.avg_last_k > 1:
-            # tag the number ACTUALLY averaged (fewer checkpoints may
-            # exist than requested) so a later run on the same dir with
-            # more checkpoints lands in a different result dir
-            from .loading import resolve_avg_steps
-
-            k_eff = len(resolve_avg_steps(args.ckpt, args.avg_last_k))
-            tag_inf += f"_avgk-{k_eff}"
+        sampler_kwargs, tag_inf = sampler_run_config(cfg, args, args.ckpt)
         # resolve() first: a bare relative filename ("checkpoint.pt") has no
         # parents[1] and raised IndexError
         exp_name = (
@@ -315,7 +295,14 @@ def evaluate_datamodule(model, state, dm, output_dir):
     JAX coordination-service shutdown barrier kills the stragglers'
     coordinator — the same failure mode the 2-process test workers guard
     against with sync_global_devices."""
-    params = state.ema.params if state is not None else None
+    if state is None:
+        # cli/train.py substitutes freshly initialized weights for
+        # train=false test=true (reference train.py:150-155); a bare None
+        # here would only crash opaquely inside flax apply
+        raise ValueError(
+            "evaluate_datamodule needs a state with .ema.params"
+        )
+    params = state.ema.params
     fs = int(model.config.model.fs)
     dataset = dm.datasets.get("test") or dm.test_dataloader().dataset
     output_dir = Path(output_dir)

@@ -55,15 +55,26 @@ def main(argv=None):
     split = args.enhanced_path.name
     output_path = args.enhanced_path.parents[1]
 
+    n_submitted = 0
     with ProcessingPool(os.cpu_count()) as pool:
-        pairs = []
         for clean_f in sorted(args.clean_path.rglob("*.wav")):
             sample_idx, channel_idx, enh_f = filename_tgt2enh(
                 clean_f, args.enhanced_path
             )
-            pairs.append((sample_idx, channel_idx))
+            n_submitted += 1
             pool.push(compute_one, sample_idx, channel_idx, clean_f, enh_f, args.sr)
         results = pool.wait_results(progress_bar=True)
+
+    n_ok = sum(1 for r in results if r)
+    if n_ok < n_submitted:
+        # a worker exception (e.g. missing enhanced file) yields a None
+        # result; without this the summary would silently cover a shrunken
+        # population
+        log.warning(
+            "%d/%d pairs failed (missing/corrupt enhanced files?) — "
+            "summary covers the remaining %d",
+            n_submitted - n_ok, n_submitted, n_ok,
+        )
 
     output = {}
     for item in sorted((r for r in results if r), key=lambda x: tuple(x[:2])):

@@ -28,8 +28,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data import DataLoader, WSJ0_mix
-from ..train.losses import normalize_batch
-from .eval_common import compute_metrics, summarize, str2bool
+from ..train.losses import normalize_batch, normalize_rows_host
+from .eval_common import (
+    compute_metrics, sampler_run_config, str2bool, summarize,
+)
 from .loading import load_model
 
 log = logging.getLogger(__name__)
@@ -55,6 +57,7 @@ def evaluate_range_batched(
     model, params, dataset, start, stop, device, fs, n_src,
     sampler_kwargs, pesq_mode, stoi_extended, seed,
     batch_size, bucket_s,
+    predictor="reverse_diffusion", corrector="ald2",
 ):
     """Throughput mode: group utterances of the same length bucket into
     batches so the jitted sampler amortizes over the batch (the TPU-native
@@ -102,21 +105,23 @@ def evaluate_range_batched(
             padded_len = n_buckets * bucket
             for off in range(0, len(items), batch_size):
                 chunk = items[off : off + batch_size]
-                mixes, lens = [], []
-                for idx, mix, target in chunk:
-                    lens.append(mix.shape[-1])
-                    pad = padded_len - mix.shape[-1]
-                    mixes.append(np.pad(mix, ((0, 0), (0, pad))))
+                lens = [mix.shape[-1] for _, mix, _ in chunk]
+                # normalize each row on its TRUE length, THEN pad (the
+                # shared serving rule, train/losses.py:normalize_rows_host
+                # — padding first folds the zero tail into the mixture
+                # stats and deflates std by ~sqrt(true/padded))
+                rows, mean, std = normalize_rows_host(
+                    [mix for _, mix, _ in chunk], padded_len
+                )
                 # pad the batch to full batch_size so only one shape compiles
                 real = len(chunk)
-                while len(mixes) < batch_size:
-                    mixes.append(np.zeros_like(mixes[0]))
-                mix_b = jax.device_put(jnp.asarray(np.stack(mixes)), device)
+                while len(rows) < batch_size:
+                    rows.append(np.zeros_like(rows[0]))
+                mix_n = jax.device_put(jnp.asarray(np.stack(rows)), device)
 
                 t_s = time.perf_counter()
-                (mix_n, _), mean, std = normalize_batch(mix_b, None)
                 sampler = model.get_pc_sampler(
-                    "reverse_diffusion", "ald2", mix_n, d_params,
+                    predictor, corrector, mix_n, d_params,
                     key=jax.random.fold_in(key, chunk[0][0]), **sampler_kwargs,
                 )
                 x_b, nfe = sampler()
@@ -149,6 +154,7 @@ def evaluate_range_batched(
 def evaluate_range(
     model, params, dataset, start, stop, device, fs, n_src,
     sampler_kwargs, pesq_mode, stoi_extended, seed,
+    predictor="reverse_diffusion", corrector="ald2",
 ):
     """Evaluate dataset[start:stop] on one device; returns list of dicts."""
     d_params = jax.device_put(params, device)
@@ -163,7 +169,7 @@ def evaluate_range(
         (mix_n, _), mean, std = normalize_batch(mix, None)
         t_s = time.perf_counter()
         sampler = model.get_pc_sampler(
-            "reverse_diffusion", "ald2", mix_n, d_params,
+            predictor, corrector, mix_n, d_params,
             key=jax.random.fold_in(key, idx), **sampler_kwargs,
         )
         x_result, nfe = sampler()
@@ -229,6 +235,14 @@ def main(argv=None):
     parser.add_argument("-s", "--schedule", type=str, default=None)
     parser.add_argument("--pesq-mode", choices=["nb", "wb"], default="nb")
     parser.add_argument("--stoi-no-extended", action="store_true")
+    parser.add_argument(
+        "--predictor", type=str, default="reverse_diffusion",
+        help="Predictor name (ddim/dpmpp = fast exact-transition samplers)",
+    )
+    parser.add_argument(
+        "--corrector", type=str, default="ald2",
+        help="Corrector name (none with ddim/dpmpp)",
+    )
     parser.add_argument("--tag", type=str, default=None)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument(
@@ -243,29 +257,7 @@ def main(argv=None):
     fs = int(cfg.model.fs)
     n_src = int(cfg.model.n_speakers)
 
-    sk = dict(cfg.model.get("sampler", {}) or {})
-    N = sk.get("N", 30) if args.N is None else args.N
-    snr = sk.get("snr", 0.5) if args.snr is None else args.snr
-    corrector_steps = (
-        sk.get("corrector_steps", 1)
-        if args.corrector_steps is None
-        else args.corrector_steps
-    )
-    sampler_kwargs = dict(
-        N=N, snr=snr, corrector_steps=corrector_steps,
-        denoise=args.denoise, schedule=args.schedule,
-    )
-    tag_inf = (
-        f"N-{N}_snr-{snr}_corrstep-{corrector_steps}"
-        f"_denoise-{args.denoise}_schedule-{args.schedule}"
-    )
-    if args.avg_last_k and args.avg_last_k > 1:
-        # tag the number ACTUALLY averaged (see evaluate.py) so requested-k
-        # and effective-k runs never collide in one result dir
-        from .loading import resolve_avg_steps
-
-        k_eff = len(resolve_avg_steps(args.ckpt, args.avg_last_k))
-        tag_inf += f"_avgk-{k_eff}"
+    sampler_kwargs, tag_inf = sampler_run_config(cfg, args, args.ckpt)
     tag = args.tag or Path(args.ckpt).stem
     output_dir = args.output_dir / f"{tag}_{tag_inf}"
     output_dir.mkdir(parents=True, exist_ok=True)
@@ -297,12 +289,14 @@ def main(argv=None):
                         n_src, sampler_kwargs, args.pesq_mode,
                         not args.stoi_no_extended, args.seed,
                         args.batch_size, args.bucket_s,
+                        predictor=args.predictor, corrector=args.corrector,
                     )
                 else:
                     all_results[t_id] = evaluate_range(
                         model, params, dataset, start, stop, device, fs,
                         n_src, sampler_kwargs, args.pesq_mode,
                         not args.stoi_no_extended, args.seed,
+                        predictor=args.predictor, corrector=args.corrector,
                     )
 
             th = threading.Thread(target=work)

@@ -197,6 +197,8 @@ def parse_name(name: str) -> dict:
             ret[key] = val == "True"
         elif key == "schedule":
             ret[key] = None if val == "None" else val
+        elif key in ("pred", "corr"):
+            ret[key] = val
     return ret
 
 

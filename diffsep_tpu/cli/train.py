@@ -24,7 +24,21 @@ _enable_cache()
 
 
 def make_run_dir(cfg, overrides) -> Path:
-    ts = datetime.datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
+    now = datetime.datetime.now().timestamp()
+    import jax
+
+    if jax.process_count() > 1:
+        # every rank computes its own wall clock; a run launched across a
+        # second boundary would otherwise split ranks into different run
+        # dirs — and train/loop.py requires every rank to drive orbax on
+        # the SAME checkpoint directory. Rank 0's timestamp wins.
+        import numpy as _np
+        from jax.experimental import multihost_utils
+
+        now = float(
+            multihost_utils.broadcast_one_to_all(_np.float64(now))
+        )
+    ts = datetime.datetime.fromtimestamp(now).strftime("%Y-%m-%d_%H-%M-%S")
     tag = "_".join(
         o.replace("/", ".")
         for o in overrides
@@ -97,6 +111,31 @@ def main(argv=None):
 
     if cfg.get("test", False):
         from ..cli.evaluate import evaluate_datamodule
+
+        if state is None:
+            # train=false test=true: the reference falls back to "test with
+            # current model value" when no best checkpoint exists
+            # (train.py:150-155) — evaluate under freshly initialized
+            # weights instead of crashing on params=None
+            import types as _types
+
+            import jax
+            import jax.numpy as jnp
+
+            log.warning(
+                "test=true with train=false: no trained state — evaluating "
+                "freshly initialized weights (reference train.py:150-155)"
+            )
+            n = int(cfg.model.fs)
+            n_src = int(cfg.model.n_speakers)
+            params = model.init_params(
+                jax.random.PRNGKey(int(cfg.get("seed", 0))),
+                jnp.zeros((1, 1, n), jnp.float32),
+                jnp.zeros((1, n_src, n), jnp.float32),
+            )
+            state = _types.SimpleNamespace(
+                ema=_types.SimpleNamespace(params=params)
+            )
 
         # multi-process: evaluate_datamodule shards the split per process
         # and merges on rank 0 — rank-GATING here would create minutes of

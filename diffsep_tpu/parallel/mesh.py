@@ -33,8 +33,13 @@ def make_mesh(
     n_devices: Optional[int] = None,
     axis_names: Sequence[str] = ("dp",),
     devices=None,
+    axis_sizes: Optional[Sequence[int]] = None,
 ) -> Mesh:
-    """1-D (or reshaped) mesh over the available devices.
+    """1-D mesh over the available devices; multi-axis requires explicit
+    `axis_sizes` (whose product must equal the device count) so an
+    unexpected (n, 1, ..., 1) shape can never silently replicate what the
+    caller believed was sharded. For the common dp x tp case prefer
+    `parallel.tensor_parallel.make_mesh_2d`.
 
     With multiple processes (multi-host TPU pods), call
     `jax.distributed.initialize()` first; `jax.devices()` then spans the
@@ -46,9 +51,19 @@ def make_mesh(
         devices = devices[:n_devices]
     arr = np.asarray(devices)
     if len(axis_names) > 1:
-        # trailing axes get size 1 unless the device count factors evenly
-        shape = (len(devices),) + (1,) * (len(axis_names) - 1)
-        arr = arr.reshape(shape)
+        if axis_sizes is None or len(axis_sizes) != len(axis_names):
+            raise ValueError(
+                f"make_mesh with axis_names={tuple(axis_names)} needs "
+                "axis_sizes of the same length (e.g. axis_sizes=(2, 4)); "
+                "a silent (n, 1, ...) reshape would replicate everything "
+                "on the trailing axes"
+            )
+        if int(np.prod(axis_sizes)) != len(devices):
+            raise ValueError(
+                f"axis_sizes={tuple(axis_sizes)} does not factor the "
+                f"{len(devices)} devices"
+            )
+        arr = arr.reshape(tuple(axis_sizes))
     return Mesh(arr, axis_names)
 
 

@@ -246,38 +246,3 @@ def make_val_score_loss(
     return val_loss
 
 
-def make_separate_fn(
-    score_apply: Callable,
-    sde: SDE,
-    sampler_kwargs: Optional[dict] = None,
-    t_eps: float = 0.03,
-):
-    """Full separation: normalize -> PC sample -> denormalize
-    (pl_model.py:148-164; note the reference discards the denormalized
-    estimate and re-runs the sampler — a quirk, fixed here).
-
-    Returns separate(params, key, mix, **overrides) -> (est, nfe).
-    """
-    kwargs = dict(
-        predictor_name="reverse_diffusion",
-        corrector_name="ald2",
-        N=30,
-        snr=0.5,
-        corrector_steps=1,
-        denoise=True,
-    )
-    kwargs.update(sampler_kwargs or {})
-    kwargs.setdefault("eps", t_eps)
-
-    from ..sampling.pc import pc_sample
-
-    def separate(params, key, mix, **overrides):
-        kw = {**kwargs, **overrides}
-        (mix_n, _), mean, std = normalize_batch(mix, None)
-        score_fn = lambda x, t, m: score_apply(params, x, t, m)
-        est, nfe = pc_sample(key, sde, score_fn, mix_n, **kw)
-        from .losses import denormalize_batch
-
-        return denormalize_batch(est, mean, std), nfe
-
-    return separate

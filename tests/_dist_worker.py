@@ -155,6 +155,37 @@ n_sharded = sum(
     and sum(s.data.size for s in leaf.addressable_shards) == leaf.size // 2
 )
 
+# --- make_run_dir must agree across ranks even with skewed wall clocks
+# (rank 0's timestamp is broadcast; unfixed, a second-boundary skew split
+# ranks into different run dirs and orbax saves diverged) ---
+import datetime as _dt
+
+import diffsep_tpu.cli.train as _tr
+
+
+_real_dt = _tr.datetime.datetime  # == datetime.datetime (module is global)
+
+
+class _Skewed(_real_dt):
+    @classmethod
+    def now(cls, tz=None):
+        return _real_dt.now(tz) + _dt.timedelta(seconds=7 * pid)
+
+
+_tr.datetime.datetime = _Skewed
+try:
+
+    class _NS:
+        pass
+
+    _cfg = _NS()
+    _cfg.path = _NS()
+    _cfg.path.exp_root = str(out_dir / "runs")
+    _cfg.name = "dist"
+    run_dir_name = _tr.make_run_dir(_cfg, []).name
+finally:
+    _tr.datetime.datetime = _real_dt
+
 report = {
     "pid": pid,
     "rank_zero": bool(is_rank_zero()),
@@ -163,6 +194,7 @@ report = {
     "step": step_count,
     "fsdp_loss": fsdp_loss,
     "fsdp_sharded_leaves": n_sharded,
+    "run_dir_name": run_dir_name,
 }
 with open(out_dir / f"p{pid}.json", "w") as f:
     json.dump(report, f)

@@ -423,3 +423,26 @@ def test_resume_from_checkpoint(trained_run_dir, wsj0_tree):
     assert int(restored.step) >= 1
     assert int(restored.ema.num_updates) == int(restored.step)
     mgr.close()
+
+
+def test_test_only_run_uses_fresh_weights(wsj0_tree, tmp_path_factory):
+    """train=false test=true must evaluate under freshly initialized
+    weights (the reference's 'test with current model value' fallback,
+    train.py:150-155) instead of crashing on params=None."""
+    from diffsep_tpu.cli.train import main
+
+    exp_root = tmp_path_factory.mktemp("exp_testonly")
+    main(
+        _tiny_overrides(wsj0_tree, exp_root)
+        + ["train=false", "test=true", "model.sampler.N=1"]
+    )
+    runs = sorted((exp_root / "default").iterdir())
+    assert runs
+    res_dir = runs[-1] / "test_results"
+    files = list(res_dir.glob("*test*.json"))
+    assert files, f"no test result files in {res_dir}"
+    data = json.loads(
+        [f for f in files if "summary" not in f.name][0].read_text()
+    )
+    rows = list(data.values()) if isinstance(data, dict) else data
+    assert rows and all(np.isfinite(r["si_sdr"]).all() for r in rows)

@@ -56,3 +56,50 @@ def test_exp_inference_values_land_in_figure(tmp_path):
     (d / "test_summary.json").write_text(json.dumps({"si_sdr": 99.0}))
     series = exp_inference([str(base), "N", "--out", str(tmp_path / "figs")])
     assert all(v != 99.0 for _, v in series["si_sdr"])
+
+
+def test_sampler_tag_roundtrip_with_predictor():
+    """sampler_run_config and figures.parse_name are two halves of one
+    dirname schema: non-default sampler pairs must tag (else a ddim run
+    and a PC run at the same N collide in one result dir) and parse back;
+    the default pair keeps the reference-compatible dirname."""
+    import types
+
+    from diffsep_tpu.cli.eval_common import sampler_run_config
+    from diffsep_tpu.cli.figures import parse_name
+
+    def mk_args(**kw):
+        base = dict(N=None, snr=None, corrector_steps=None, denoise=True,
+                    schedule=None, predictor=None, corrector=None,
+                    avg_last_k=None)
+        base.update(kw)
+        return types.SimpleNamespace(**base)
+
+    class _CfgObj:
+        class model:
+            @staticmethod
+            def get(k, d=None):
+                return {"sampler": {"N": 30, "snr": 0.5,
+                                    "corrector_steps": 1}}.get(k, d)
+
+    # default pair: reference-compatible tag, no pred/corr fields
+    _, tag = sampler_run_config(_CfgObj, mk_args(), None)
+    assert "pred-" not in tag and "corr-" not in tag
+    assert parse_name(tag)["N"] == 30
+
+    _, tag = sampler_run_config(
+        _CfgObj,
+        mk_args(predictor="reverse_diffusion", corrector="ald2"),
+        None,
+    )
+    assert "pred-" not in tag
+
+    # fast pair: tagged and parsed back
+    kw, tag = sampler_run_config(
+        _CfgObj, mk_args(N=6, predictor="ddim", corrector="none"), None
+    )
+    assert kw["N"] == 6
+    parsed = parse_name("run_" + tag)
+    assert parsed["N"] == 6
+    assert parsed["pred"] == "ddim"
+    assert parsed["corr"] == "none"

@@ -194,6 +194,10 @@ def test_two_process_distributed_cpu(tmp_path):
     np.testing.assert_allclose(
         reports[0]["fsdp_loss"], reports[1]["fsdp_loss"], rtol=1e-6
     )
+    # make_run_dir broadcast: identical dir name despite a 7 s clock skew
+    # injected on rank 1 (unfixed, ranks split into different run dirs and
+    # every-rank orbax saves diverged)
+    assert reports[0]["run_dir_name"] == reports[1]["run_dir_name"]
     assert np.isfinite(reports[0]["fsdp_loss"])
 
 
@@ -307,3 +311,71 @@ def test_tp_single_utterance_whole_mesh():
     est, _ = run(jax.random.PRNGKey(0), mix)
     assert est.shape == (1, 2, fs)
     assert np.isfinite(np.asarray(est)).all()
+
+
+def test_batched_eval_normalizes_on_true_length():
+    """evaluate_range_batched must normalize each utterance on its TRUE
+    length before zero-padding to the bucket (the shared serving rule,
+    train/losses.py:normalize_rows_host) — padding first deflated std by
+    ~sqrt(true/padded) and fed the network a hotter-than-training input."""
+    import jax
+    import jax.numpy as jnp
+
+    from diffsep_tpu.cli.evaluate_mp import evaluate_range_batched
+
+    fs = 8000
+    n_true = 4000  # 0.5 s in a 1.0 s bucket -> pad doubles the length
+    rng = np.random.default_rng(0)
+    target = rng.standard_normal((2, n_true)).astype(np.float32) * 0.2
+    mix = target.sum(axis=0, keepdims=True) + 0.3  # nonzero mean
+
+    class DS:
+        def __len__(self):
+            return 1
+
+        def __getitem__(self, i):
+            return mix, target
+
+    captured = []
+
+    class StubModel:
+        def get_pc_sampler(self, pred, corr, y, params, key=None, **kw):
+            captured.append(np.asarray(y))
+
+            def sampler():
+                return (
+                    jnp.concatenate([y, y], axis=1),  # (b, 2, n) estimate
+                    jnp.asarray(2),
+                )
+
+            return sampler
+
+    rows = evaluate_range_batched(
+        StubModel(), {}, DS(), 0, 1, jax.devices("cpu")[0], fs, 2,
+        sampler_kwargs={}, pesq_mode="nb", stoi_extended=False, seed=0,
+        batch_size=2, bucket_s=1.0,
+    )
+    assert len(rows) == 1 and len(captured) == 1
+    row = captured[0][0, 0]  # first (real) row of the sampler input
+    assert row.shape[-1] == fs  # padded to the 1 s bucket
+    # true span is normalized to exactly zero-mean / unit-std (ddof=1)...
+    assert abs(float(row[:n_true].mean())) < 1e-5
+    assert abs(float(row[:n_true].std(ddof=1)) - 1.0) < 1e-4
+    # ...and the pad tail is exactly zero (not -mean/std)
+    assert np.all(row[n_true:] == 0.0)
+
+
+def test_make_mesh_multi_axis_requires_sizes():
+    """Multi-axis make_mesh must be explicit: the old silent (n, 1, ...)
+    reshape replicated everything on the trailing axes while the caller
+    believed it was sharded."""
+    import pytest as _pytest
+
+    from diffsep_tpu.parallel.mesh import make_mesh
+
+    with _pytest.raises(ValueError, match="axis_sizes"):
+        make_mesh(8, axis_names=("dp", "fsdp"))
+    with _pytest.raises(ValueError, match="factor"):
+        make_mesh(8, axis_names=("dp", "fsdp"), axis_sizes=(3, 2))
+    m = make_mesh(8, axis_names=("dp", "fsdp"), axis_sizes=(2, 4))
+    assert dict(m.shape) == {"dp": 2, "fsdp": 4}

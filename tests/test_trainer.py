@@ -20,7 +20,6 @@ from diffsep_tpu.train.trainer import (
     init_train_state,
     make_clipper,
     make_optimizer,
-    make_separate_fn,
     make_train_step,
 )
 
@@ -155,15 +154,6 @@ def test_warmup_schedule():
     np.testing.assert_allclose(float(s(0)), 2e-5)
     np.testing.assert_allclose(float(s(9)), 2e-4)
     np.testing.assert_allclose(float(s(100)), 2e-4)
-
-
-def test_separate_fn_runs():
-    model, apply, sde, state, _, mix, target = _setup()
-    sep = make_separate_fn(apply, sde, {"N": 4})
-    est, nfe = sep(state.params, jax.random.PRNGKey(0), mix)
-    assert est.shape == target.shape
-    assert nfe == 8
-    assert np.isfinite(np.asarray(est)).all()
 
 
 def test_validate_uses_ema_params_for_score_loss():
