@@ -54,8 +54,9 @@ def build():
     fs = 8000
     n_samples = 5 * fs
     # round-3 clean sweep on this chip: N30 fused 32: 3.406, 48: 3.455,
-    # 64: 3.296 -> 48 peak; DDIM N6 32: 26.7, 48: 27.1, 64: 28.0 -> 64
-    # peak. Each operating point runs at its own measured peak batch.
+    # 56: 3.452, 64: 3.296 -> 48 peak (48-56 is a plateau); DDIM N6
+    # 32: 26.7, 48: 27.1, 64: 28.0 -> 64 peak. Each operating point runs
+    # at its own measured peak batch.
     batch = int(os.environ.get("BENCH_BATCH", "48"))
     ddim_batch = int(os.environ.get("BENCH_DDIM_BATCH", "64"))
     rng = np.random.default_rng(0)

@@ -88,8 +88,10 @@ def merge_split(results_path: Path, dnsmos_path: Path, overwrite: bool):
         results = json.load(f)
 
     if isinstance(results, list):
-        for entry in results:
-            idx = int(entry.get("batch_idx", results.index(entry)))
+        for pos, entry in enumerate(results):
+            # positional fallback, NOT results.index(entry): dict-equality
+            # lookup maps duplicate rows onto the first one's index
+            idx = int(entry.get("batch_idx", pos))
             if idx not in dnsmos:
                 raise ValueError(f"Sample {idx} not found in DNSMOS file")
             entry.update(dnsmos[idx])
