@@ -193,39 +193,38 @@ def stoi(ref, est, fs: int, extended: bool = False) -> float:
     if X.shape[1] < _SEG_LEN:
         return np.nan
 
-    corrs = []
-    for m in range(_SEG_LEN, X.shape[1] + 1):
-        Xs = X[:, m - _SEG_LEN : m]  # (bands, N)
-        Ys = Y[:, m - _SEG_LEN : m]
-        if extended:
-            # row-normalize over time, then column-normalize over bands
-            Xn = (Xs - Xs.mean(1, keepdims=True)) / (
-                np.linalg.norm(Xs - Xs.mean(1, keepdims=True), axis=1, keepdims=True)
-                + _EPS
-            )
-            Yn = (Ys - Ys.mean(1, keepdims=True)) / (
-                np.linalg.norm(Ys - Ys.mean(1, keepdims=True), axis=1, keepdims=True)
-                + _EPS
-            )
-            Xn = (Xn - Xn.mean(0, keepdims=True)) / (
-                np.linalg.norm(Xn - Xn.mean(0, keepdims=True), axis=0, keepdims=True)
-                + _EPS
-            )
-            Yn = (Yn - Yn.mean(0, keepdims=True)) / (
-                np.linalg.norm(Yn - Yn.mean(0, keepdims=True), axis=0, keepdims=True)
-                + _EPS
-            )
-            corrs.append(np.sum(Xn * Yn) / _NUM_BANDS)
-        else:
-            # scale + clip the degraded band envelopes
-            alpha = np.linalg.norm(Xs, axis=1, keepdims=True) / (
-                np.linalg.norm(Ys, axis=1, keepdims=True) + _EPS
-            )
-            Yc = np.minimum(Ys * alpha, Xs * (1.0 + 10.0 ** (-_BETA_DB / 20.0)))
-            xm = Xs - Xs.mean(1, keepdims=True)
-            ym = Yc - Yc.mean(1, keepdims=True)
-            d = np.sum(xm * ym, axis=1) / (
-                np.linalg.norm(xm, axis=1) * np.linalg.norm(ym, axis=1) + _EPS
-            )
-            corrs.append(d.mean())
+    # All sliding segments at once: (bands, n_seg, SEG_LEN). The per-segment
+    # math below is the straight vectorization of the published per-m loop
+    # (golden-anchored in tests/test_metrics.py against an independent
+    # per-segment transcription to 1e-9).
+    Xs = np.ascontiguousarray(
+        np.lib.stride_tricks.sliding_window_view(X, _SEG_LEN, axis=1)
+    )
+    Ys = np.ascontiguousarray(
+        np.lib.stride_tricks.sliding_window_view(Y, _SEG_LEN, axis=1)
+    )
+    if extended:
+        # row-normalize over time, then column-normalize over bands
+        def _norm(a, axis):
+            c = a - a.mean(axis, keepdims=True)
+            return c / (np.linalg.norm(c, axis=axis, keepdims=True) + _EPS)
+
+        # Jensen & Taal 2016 eq. (5): d_m = (1/N) sum_n x_n^T y_n over the
+        # N = 30 time columns (pystoi divides by N, not by the band count;
+        # identical signals must score exactly 1.0 — regression-tested).
+        Xn = _norm(_norm(Xs, 2), 0)
+        Yn = _norm(_norm(Ys, 2), 0)
+        corrs = np.sum(Xn * Yn, axis=(0, 2)) / _SEG_LEN  # (n_seg,)
+    else:
+        # scale + clip the degraded band envelopes
+        alpha = np.linalg.norm(Xs, axis=2, keepdims=True) / (
+            np.linalg.norm(Ys, axis=2, keepdims=True) + _EPS
+        )
+        Yc = np.minimum(Ys * alpha, Xs * (1.0 + 10.0 ** (-_BETA_DB / 20.0)))
+        xm = Xs - Xs.mean(2, keepdims=True)
+        ym = Yc - Yc.mean(2, keepdims=True)
+        d = np.sum(xm * ym, axis=2) / (
+            np.linalg.norm(xm, axis=2) * np.linalg.norm(ym, axis=2) + _EPS
+        )
+        corrs = d.mean(axis=0)  # (n_seg,)
     return float(np.mean(corrs))

@@ -88,7 +88,10 @@ def test_stoi_clean_vs_noisy(rng):
     assert s_noisy < s_clean
     e_clean = stoi(clean, clean, fs, extended=True)
     e_noisy = stoi(clean, noisy, fs, extended=True)
-    assert e_clean > 0.95 and e_noisy < e_clean
+    # identity must score exactly 1.0: the doubly-normalized segment product
+    # sums to N and the 2016 paper divides by N (a /J normalization scores 2)
+    np.testing.assert_allclose(e_clean, 1.0, atol=1e-9)
+    assert e_noisy < e_clean
 
 
 def _stoi_independent(x, y, extended=False):
@@ -137,7 +140,7 @@ def _stoi_independent(x, y, extended=False):
                 A = A - A.mean(0, keepdims=True)
                 return A / (np.linalg.norm(A, axis=0, keepdims=True) + 1e-10)
 
-            vals.append(np.sum(cn(rn(Xs)) * cn(rn(Ys))) / J)
+            vals.append(np.sum(cn(rn(Xs)) * cn(rn(Ys))) / N)
         else:
             d = 0.0
             for j in range(J):
@@ -169,10 +172,12 @@ def test_stoi_golden_anchors():
         "lowpass": np.convolve(clean, np.ones(8) / 8, mode="same"),
     }
     # literals computed once from the independent transcription (seed 1234)
+    # Extended values are the standard-to-2016-paper (1/N)-normalized ones;
+    # the pre-fix literals divided by J=15 instead of N=30 (exactly 2x).
     golden = {
-        "snr0": (0.3130374903, 0.3030275653),
-        "snr10": (0.3405642626, 0.3297908729),
-        "lowpass": (0.7936730930, 0.9449219590),
+        "snr0": (0.3130374903, 0.3030275653 / 2),
+        "snr10": (0.3405642626, 0.3297908729 / 2),
+        "lowpass": (0.7936730930, 0.9449219590 / 2),
     }
     for name, deg in cases.items():
         g_std, g_ext = golden[name]
