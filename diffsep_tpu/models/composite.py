@@ -17,9 +17,11 @@ from __future__ import annotations
 from typing import Dict, Optional
 
 import numpy as np
-from scipy.linalg import toeplitz
 
-__all__ = ["eval_composite", "wss", "llr", "ssnr", "lpcoeff", "trim_mos"]
+__all__ = [
+    "eval_composite", "wss", "llr", "ssnr", "lpcoeff", "lpcoeff_frames",
+    "trim_mos",
+]
 
 # critical band center frequencies / bandwidths (Hz) for the WSS measure
 _CENT_FREQ = np.array([
@@ -46,34 +48,47 @@ def _frames(x: np.ndarray, winlength: int, skiprate: int) -> np.ndarray:
     return x[idx] * window
 
 
-def lpcoeff(frame: np.ndarray, order: int):
-    """Autocorrelation + Levinson-Durbin LPC (evaluate_covl.py:63-96).
+def lpcoeff_frames(frames: np.ndarray, order: int):
+    """Autocorrelation + Levinson-Durbin LPC, batched over frames
+    (evaluate_covl.py:63-96).
 
-    Returns (autocorr lags R[0..order], reflection coeffs, [1, -a_1..-a_p]).
+    frames: (n_frames, winlength). Returns (R, rc, lp) shaped
+    (n_frames, order+1), (n_frames, order), (n_frames, order+1) — per frame
+    the autocorr lags R[0..order], reflection coeffs, [1, -a_1..-a_p].
+
+    np.sum of the elementwise product (NOT np.dot/BLAS): the LPC recursion
+    is ill-conditioned when reflection coefficients approach +-1, and the
+    different accumulation order of BLAS dot vs pairwise sum diverges by
+    whole digits after ~8 recursion steps. Batching over the leading axis
+    keeps each frame's accumulation identical to the scalar formulation
+    (contiguous last-axis pairwise sums), so per-frame LLR stays matched to
+    the reference implementation (verified in
+    tests/test_composite_golden.py).
     """
-    n = len(frame)
-    # np.sum of the elementwise product (NOT np.dot): the LPC recursion is
-    # ill-conditioned when reflection coefficients approach +-1, and the
-    # different accumulation order of BLAS dot vs pairwise sum diverges by
-    # whole digits after ~8 recursion steps. Matching the published
-    # formulation keeps per-frame LLR bit-identical to the reference
-    # implementation (verified in tests/test_composite_golden.py).
-    R = np.array(
-        [np.sum(frame[: n - k] * frame[k:]) for k in range(order + 1)]
-    )
+    frames = np.ascontiguousarray(frames, np.float64)
+    nf, n = frames.shape
+    R = np.empty((nf, order + 1))
+    for k in range(order + 1):
+        R[:, k] = np.sum(frames[:, : n - k] * frames[:, k:], axis=1)
 
-    a = np.zeros(order)
-    E = R[0]
-    rc = np.zeros(order)
+    a = np.zeros((nf, order))
+    E = R[:, 0].copy()
+    rc = np.zeros((nf, order))
     for i in range(order):
-        acc = R[i + 1] - np.sum(a[:i] * R[i:0:-1])
+        acc = R[:, i + 1] - np.sum(a[:, :i] * R[:, i:0:-1], axis=1)
         k = acc / np.maximum(1e-15, E)
-        rc[i] = k
-        a[:i] = a[:i] - k * a[:i][::-1]
-        a[i] = k
+        rc[:, i] = k
+        a[:, :i] = a[:, :i] - k[:, None] * a[:, :i][:, ::-1]
+        a[:, i] = k
         E = (1.0 - k * k) * E
-    lp = np.concatenate(([1.0], -a)).astype(np.float32)
+    lp = np.concatenate((np.ones((nf, 1)), -a), axis=1).astype(np.float32)
     return R.astype(np.float32), rc.astype(np.float32), lp
+
+
+def lpcoeff(frame: np.ndarray, order: int):
+    """Single-frame LPC (evaluate_covl.py:63-96); see lpcoeff_frames."""
+    R, rc, lp = lpcoeff_frames(np.asarray(frame)[None, :], order)
+    return R[0], rc[0], lp[0]
 
 
 def ssnr(ref: np.ndarray, deg: np.ndarray, fs: int = 16000, eps: float = 1e-10):
@@ -162,15 +177,25 @@ def llr(ref: np.ndarray, deg: np.ndarray, fs: int = 16000) -> np.ndarray:
 
     fr = _frames(ref, winlength, skiprate)
     fd = _frames(deg, winlength, skiprate)
-    out = []
+    R_c, _, A_c = lpcoeff_frames(fr, order)
+    _, _, A_p = lpcoeff_frames(fd, order)
+    # The quadratic forms stay per-frame f32 BLAS (gemv + dot) on purpose:
+    # LPC whitening makes A^T T A cancellation-dominated on near-silent
+    # frames, where the result is precision-noise — reference parity there
+    # means reproducing the same f32 accumulation, not a "better" f64 one
+    # (a vectorized f64 einsum diverged by whole log-units on exactly those
+    # frames in tests/test_composite_golden.py).
+    idx = np.abs(np.arange(order + 1)[:, None] - np.arange(order + 1)[None, :])
+    # contiguous so each T[i] takes the same BLAS path as scipy's toeplitz
+    # did (a strided T flips numpy to a different accumulation, which on
+    # these cancellation-dominated frames changes the result entirely)
+    T = np.ascontiguousarray(R_c[:, idx])  # (frames, p+1, p+1) f32
+    out = np.empty(fr.shape[0])
     for i in range(fr.shape[0]):
-        R_c, _, A_c = lpcoeff(fr[i], order)
-        _, _, A_p = lpcoeff(fd[i], order)
-        T = toeplitz(R_c)
-        num = max(float(A_p @ T @ A_p), 1e-10)
-        den = max(float(A_c @ T @ A_c), 1e-10)
-        out.append(np.log(num / den))
-    return np.nan_to_num(np.array(out))
+        num = max(float(A_p[i] @ T[i] @ A_p[i]), 1e-10)
+        den = max(float(A_c[i] @ T[i] @ A_c[i]), 1e-10)
+        out[i] = np.log(num / den)
+    return np.nan_to_num(out)
 
 
 def eval_composite(
