@@ -140,32 +140,45 @@ def wss(ref: np.ndarray, deg: np.ndarray, fs: int = 16000) -> np.ndarray:
     e_r = 10 * np.log10(np.maximum(spec_r @ filt.T, 1e-10))  # (frames, crit)
     e_d = 10 * np.log10(np.maximum(spec_d @ filt.T, 1e-10))
 
-    def per_frame(ce, pe):
-        cs = np.diff(ce)
-        ps = np.diff(pe)
+    def loc_peaks(energy, slope):
+        """Nearest-peak-in-slope-direction, all frames/bands at once.
 
-        def loc_peaks(energy, slope):
-            peaks = np.empty(num_crit - 1)
-            for i in range(num_crit - 1):
-                n = i
-                if slope[i] > 0:
-                    while n < num_crit - 1 and slope[n] > 0:
-                        n += 1
-                    peaks[i] = energy[n - 1]
-                else:
-                    while n >= 0 and slope[n] <= 0:
-                        n -= 1
-                    peaks[i] = energy[n + 1]
-            return peaks
+        Vectorization of the reference's per-band walk
+        (evaluate_covl.py:155-355): rising slope -> walk forward to the
+        first non-positive slope n and take energy[n-1]; falling -> walk
+        back to the first positive slope n and take energy[n+1] (the
+        walk's exact off-by-the-reference indexing is preserved — outputs
+        are golden-pinned per frame at rtol 1e-6 in
+        tests/test_composite_golden.py).
+        """
+        nf, nb = slope.shape  # (frames, num_crit - 1)
+        ar = np.arange(nb)[None, :]
+        pos = slope > 0
+        # next index >= i with non-positive slope (or nb if none)
+        nxt = np.where(~pos, ar, nb)
+        nxt = np.minimum.accumulate(nxt[:, ::-1], axis=1)[:, ::-1]
+        # previous index <= i with positive slope (or -1 if none)
+        prv = np.where(pos, ar, -1)
+        prv = np.maximum.accumulate(prv, axis=1)
+        rows = np.arange(nf)[:, None]
+        up = energy[rows, np.maximum(nxt - 1, 0)]
+        down = energy[rows, prv + 1]
+        return np.where(pos, up, down)
 
-        cp = loc_peaks(ce, cs)
-        pp = loc_peaks(pe, ps)
-        Wc = (Kmax / (Kmax + ce.max() - ce[:-1])) * (Klocmax / (Klocmax + cp - ce[:-1]))
-        Wp = (Kmax / (Kmax + pe.max() - pe[:-1])) * (Klocmax / (Klocmax + pp - pe[:-1]))
-        W = 0.5 * (Wc + Wp)
-        return np.sum(W * (cs - ps) ** 2) / np.sum(W)
-
-    return np.array([per_frame(e_r[i], e_d[i]) for i in range(e_r.shape[0])])
+    cs = np.diff(e_r, axis=1)
+    ps = np.diff(e_d, axis=1)
+    cp = loc_peaks(e_r, cs)
+    pp = loc_peaks(e_d, ps)
+    ce = e_r[:, :-1]
+    pe = e_d[:, :-1]
+    Wc = (Kmax / (Kmax + e_r.max(1, keepdims=True) - ce)) * (
+        Klocmax / (Klocmax + cp - ce)
+    )
+    Wp = (Kmax / (Kmax + e_d.max(1, keepdims=True) - pe)) * (
+        Klocmax / (Klocmax + pp - pe)
+    )
+    W = 0.5 * (Wc + Wp)
+    return np.sum(W * (cs - ps) ** 2, axis=1) / np.sum(W, axis=1)
 
 
 def llr(ref: np.ndarray, deg: np.ndarray, fs: int = 16000) -> np.ndarray:
