@@ -33,9 +33,17 @@ class DiffusionEmbedding(nn.Module):
     max_steps: int
 
     def setup(self):
-        steps = np.arange(self.max_steps)[:, None]
-        dims = np.arange(64)[None, :]
-        table = steps * 10.0 ** (dims * 4.0 / 63.0)
+        # torch builds this table in float32 (int64 * python-float promotes
+        # to the default dtype, cdiffuse_network.py:65-70); the arguments
+        # reach ~5e5 where sin() of the f32-rounded frequency differs O(1)
+        # from the f64 value, so parity requires f32 arithmetic throughout.
+        steps = np.arange(self.max_steps, dtype=np.float32)[:, None]
+        dims = np.arange(64, dtype=np.float32)[None, :]
+        # torch evaluates pow at f64 internally and rounds the result to
+        # f32; the exponent itself is the f32 value
+        exponent = dims * np.float32(4.0) / np.float32(63.0)
+        freqs = (10.0 ** exponent.astype(np.float64)).astype(np.float32)
+        table = steps * freqs
         self.table = jnp.asarray(
             np.concatenate([np.sin(table), np.cos(table)], axis=1), jnp.float32
         )
