@@ -132,9 +132,32 @@ class CondRCUBlock(nn.Module):
 
 
 def _bilinear_resize(x: Array, shape) -> Array:
-    """F.interpolate(mode=bilinear, align_corners=True) equivalent."""
+    """F.interpolate(mode=bilinear, align_corners=True) equivalent.
+
+    jax.image.resize("linear") uses half-pixel sample centers
+    (align_corners=False); the corner-aligned grid the reference uses
+    (layers.py:292,316) samples at i*(n_in-1)/(n_out-1), so it is built
+    explicitly here."""
     b, h, w, c = x.shape
-    return jax.image.resize(x, (b, shape[0], shape[1], c), "linear")
+    H, W = int(shape[0]), int(shape[1])
+
+    def grid(n_in, n_out):
+        if n_out == 1:
+            return jnp.zeros((1,), jnp.float32)
+        return jnp.arange(n_out, dtype=jnp.float32) * (
+            (n_in - 1) / (n_out - 1)
+        )
+
+    yy, xx = grid(h, H), grid(w, W)
+    y0 = jnp.clip(jnp.floor(yy).astype(jnp.int32), 0, h - 1)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    x0 = jnp.clip(jnp.floor(xx).astype(jnp.int32), 0, w - 1)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    wy = (yy - y0)[None, :, None, None]
+    wx = (xx - x0)[None, None, :, None]
+    top = x[:, y0][:, :, x0] * (1 - wx) + x[:, y0][:, :, x1] * wx
+    bot = x[:, y1][:, :, x0] * (1 - wx) + x[:, y1][:, :, x1] * wx
+    return top * (1 - wy) + bot * wy
 
 
 class MSFBlock(nn.Module):
@@ -268,7 +291,11 @@ class MeanPoolConv(nn.Module):
 class UpsampleConv(nn.Module):
     """Pixel-shuffle 2x upsample then conv (layers.py:473-490).
 
-    cat x4 + PixelShuffle(2) of identical copies == nearest upsample."""
+    cat([x]*4, dim=C) + PixelShuffle(2) is NOT nearest upsampling except
+    at C=1: concatenation lays the copies out block-wise, so the shuffle
+    reads out[c, 2h+i, 2w+j] = x[(4c + 2i + j) mod C, h, w] — a fixed
+    per-position channel rotation. Reproduced exactly (verified against
+    torch.nn.PixelShuffle)."""
 
     output_dim: int
     kernel_size: int = 3
@@ -277,7 +304,13 @@ class UpsampleConv(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         b, h, w, c = x.shape
-        x = jax.image.resize(x, (b, h * 2, w * 2, c), "nearest")
+        c_idx = (
+            4 * jnp.arange(c)[:, None, None]
+            + 2 * jnp.arange(2)[None, :, None]
+            + jnp.arange(2)[None, None, :]
+        ) % c  # (C, 2, 2)
+        g = x[:, :, :, c_idx]  # (b, h, w, C, 2, 2)
+        x = jnp.transpose(g, (0, 1, 4, 2, 5, 3)).reshape(b, h * 2, w * 2, c)
         return nn.Conv(self.output_dim, (self.kernel_size, self.kernel_size),
                        padding=self.kernel_size // 2, use_bias=self.biases,
                        name="conv")(x)

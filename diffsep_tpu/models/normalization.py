@@ -116,7 +116,8 @@ class VarianceNorm2d(nn.Module):
         alpha = 1.0 + self.param(
             "alpha", nn.initializers.normal(stddev=0.02), (self.num_features,)
         )
-        var = x.var(axis=(1, 2), keepdims=True)
+        # torch.var defaults to the UNBIASED estimator (normalization.py:133)
+        var = x.var(axis=(1, 2), keepdims=True, ddof=1)
         return alpha * x / jnp.sqrt(var + 1e-5)
 
 
@@ -135,8 +136,48 @@ class ConditionalVarianceNorm2d(nn.Module):
             embedding_init=lambda k, s, d=jnp.float32: 1.0
             + 0.02 * jax.random.normal(k, s, d),
         )(y)
-        var = x.var(axis=(1, 2), keepdims=True)
+        # torch.var defaults to the UNBIASED estimator (normalization.py:117)
+        var = x.var(axis=(1, 2), keepdims=True, ddof=1)
         h = x / jnp.sqrt(var + 1e-5)
+        return gamma[:, None, None, :] * h
+
+
+class ConditionalBatchNorm2d(nn.Module):
+    """Class-conditional batch norm (normalization.py:45-71): affine-free
+    BatchNorm2d followed by a per-class (gamma, beta) from an embedding.
+
+    torch semantics: train mode normalizes with biased batch statistics
+    and maintains running stats (momentum 0.1 == flax momentum 0.9); eval
+    mode normalizes with the running stats (`batch_stats` collection)."""
+
+    num_features: int
+    num_classes: int
+    bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array, y: Array, train: bool = False) -> Array:
+        h = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            use_bias=False,
+            use_scale=False,
+            name="bn",
+        )(x)
+        n = self.num_features
+        if self.bias:
+            embed = nn.Embed(
+                self.num_classes, 2 * n,
+                embedding_init=_embed_init_scale_bias(n),
+            )(y)
+            gamma, beta = jnp.split(embed, 2, axis=-1)
+            return gamma[:, None, None, :] * h + beta[:, None, None, :]
+        gamma = nn.Embed(
+            self.num_classes, n,
+            embedding_init=lambda k, s, d=jnp.float32: jax.random.uniform(
+                k, s, d
+            ),
+        )(y)
         return gamma[:, None, None, :] * h
 
 
