@@ -3,7 +3,13 @@
 operating point (N=30 reverse steps, snr=0.5, corrector_steps=1 => 60
 network evaluations per utterance, config/model/default.yaml:39-42).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints the graded JSON line {"metric", "value", "unit", "vs_baseline", ...}
+IMMEDIATELY after the N=30 fused measurement — the only mandatory phase —
+then, time permitting, re-prints a superset line with the DDIM-N6 fast-path
+throughput appended.  (Round 3 printed the line only at the very end and
+the driver's budget expired mid-extras: BENCH_r03.json rc=124, parsed=null,
+losing a measured 3.423 utt/s.  The last JSON line on stdout is always a
+complete, self-contained record.)
 
 value        = utterances/sec/chip for the flagship nf=128 NCSN++ +
                MixSDE PC sampler on 5 s 8 kHz utterances, batched.
@@ -13,7 +19,18 @@ vs_baseline  = speedup over a reference-architecture execution shape on
                evaluate.py:322-376 / SURVEY.md §3.4, with every step
                jit-compiled — i.e. a best-case rendition of the PyTorch
                execution model), versus the TPU-native whole-process
-               lax.scan over a batch.
+               lax.scan over a batch.  The baseline is a known quantity
+               measured live in rounds 1-3 (2.168 / 2.330 / 2.309 utt/s);
+               by default the conservative max (2.330) is used so the
+               graded line never waits ~3 min on a re-measurement.  Set
+               BENCH_RUN_REF=1 to re-measure it live (runs first, in a
+               timeout-guarded subprocess, before this process claims the
+               TPU).
+
+quality_nfe_sweep_demo = SI-SDR (dB) of the low-NFE predictors at
+               N in {4,6,8} on the demo-trained model (scripts/train_demo.py,
+               regenerated this round; see that file for provenance) so the
+               fast-path throughput travels with the quality it buys.
 
 Timing forces a device->host transfer (jax.device_get) because async
 dispatch otherwise returns before execution completes.
@@ -33,6 +50,15 @@ from diffsep_tpu.compilation_cache import enable as _enable_cache
 
 _enable_cache()
 
+T_START = time.perf_counter()
+# Extras (DDIM) only start if elapsed time is below this; the graded line
+# has already been printed by then either way.
+BUDGET_S = float(os.environ.get("BENCH_BUDGET", "420"))
+
+# Reference-style baseline on this chip, measured live in rounds 1-3:
+# 2.168 / 2.330 / 2.309 utt/s.  Conservative max.
+RECORDED_REF = 2.330
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
@@ -40,6 +66,10 @@ def log(*a):
 
 def sync(x) -> None:
     np.asarray(jax.device_get(x))
+
+
+def elapsed() -> float:
+    return time.perf_counter() - T_START
 
 
 def build():
@@ -94,7 +124,7 @@ def bench_fused(model, params, mix, n_windows=3):
     """TPU-native: whole PC reverse process in one jit'd scan, batched."""
     est, _ = model.separate(params, jax.random.PRNGKey(0), mix)
     sync(est)  # compile + first run
-    log("fused: compiled")
+    log(f"fused: compiled (t={elapsed():.0f}s)")
 
     def run_one(seed):
         est, _ = model.separate(params, jax.random.PRNGKey(seed), mix)
@@ -111,7 +141,7 @@ def bench_ddim(model, params, mix, n_windows=4, iters_per_window=4):
     kw = dict(predictor_name="ddim", corrector_name="none", N=6)
     est, _ = model.separate(params, jax.random.PRNGKey(0), mix, **kw)
     sync(est)  # compile + first run
-    log("ddim: compiled")
+    log(f"ddim: compiled (t={elapsed():.0f}s)")
 
     def run_one(seed):
         est, _ = model.separate(params, jax.random.PRNGKey(seed), mix, **kw)
@@ -180,68 +210,87 @@ def bench_reference_style(model, params, mix):
     return 1.0 / dt
 
 
+def _load_quality_sweep():
+    """N-sweep SI-SDR of the fast-path predictors on the demo-trained model
+    (VERDICT r3 item 8). Read from scripts/train_demo_result.json if it
+    carries the sweep (regenerated by scripts/train_demo.py --sweep);
+    absent -> omitted rather than faked."""
+    try:
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "scripts", "train_demo_result.json")
+        with open(path) as f:
+            rec = json.load(f)
+        sweep = rec.get("quality_nfe_sweep")
+        if sweep:
+            return sweep
+    except Exception as e:  # pragma: no cover - diagnostics only
+        log(f"quality sweep unavailable ({e})")
+    return None
+
+
 def main():
+    # Live baseline re-measurement is opt-in; it must run BEFORE this
+    # process claims the TPU, hence the subprocess-first dance.
+    ref, ref_source = RECORDED_REF, "recorded_r1-r3_max"
     if os.environ.get("_BENCH_REF_CHILD") == "1":
-        # child mode: measure ONLY the reference-style baseline and print it
         model, params, mix, _ = build()
         print(f"REF_RESULT {bench_reference_style(model, params, mix):.6f}")
         return
+    if os.environ.get("BENCH_RUN_REF") == "1":
+        try:
+            import subprocess
 
-    # The reference-style phase needs several fresh batch-1 compiles; on a
-    # slow/loaded host that can exceed any reasonable budget (compiles are
-    # not interruptible in-process), so it runs FIRST, in a timeout-guarded
-    # subprocess (before this process touches the TPU, so the chip is never
-    # claimed twice). Fallback: the thrice-measured baseline on this chip
-    # (2.10/2.11/2.14 utt/s).
-    ref = None
-    try:
-        import subprocess
-
-        env = dict(os.environ, _BENCH_REF_CHILD="1")
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env,
-            stdout=subprocess.PIPE,
-            stderr=sys.stderr,
-            text=True,
-            timeout=int(os.environ.get("BENCH_REF_TIMEOUT", "1200")),
-        )
-        for line in proc.stdout.splitlines():
-            if line.startswith("REF_RESULT "):
-                ref = float(line.split()[1])
-        if ref is not None:
-            log(f"reference-style: {ref:.3f} utt/s")
-    except Exception as e:
-        log(f"reference-style subprocess failed ({e})")
-    if ref is None:
-        log("using recorded reference-style baseline 2.14 utt/s")
-        ref = 2.14
+            env = dict(os.environ, _BENCH_REF_CHILD="1")
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=sys.stderr,
+                text=True,
+                timeout=int(os.environ.get("BENCH_REF_TIMEOUT", "1200")),
+            )
+            for line in proc.stdout.splitlines():
+                if line.startswith("REF_RESULT "):
+                    ref, ref_source = float(line.split()[1]), "measured_live"
+        except Exception as e:
+            log(f"reference-style subprocess failed ({e})")
+    log(f"baseline: {ref:.3f} utt/s ({ref_source})")
 
     model, params, mix, mix_ddim = build()
-    log("params initialized")
+    log(f"params initialized (t={elapsed():.0f}s)")
     fused = bench_fused(model, params, mix)
     log(f"fused: {fused:.3f} utt/s")
-    ddim = bench_ddim(model, params, mix_ddim)
-    log(f"ddim N=6: {ddim:.3f} utt/s")
+
     # analytic A100 grounding (BASELINE.md "Analytic A100 bound"):
     # 40 TFLOP/utt at the N=30 operating point; torch reference runs
     # batch-1 fp32 host-stepped. SOL-ish: TF32 @45% util = 1.75 utt/s;
     # realistic eager batch-1: 0.6-1.0 utt/s (midpoint 0.8).
-    a100_sol = 1.75
-    a100_real = 0.8
-    print(
-        json.dumps(
-            {
-                "metric": "wsj0_2mix_separation_throughput_N30",
-                "value": round(fused, 4),
-                "unit": "utt/sec/chip (5s@8kHz, nf=128, 60 NN evals/utt)",
-                "vs_baseline": round(fused / ref, 3),
-                "vs_a100_sol_est": round(fused / a100_sol, 2),
-                "vs_a100_realistic_est": round(fused / a100_real, 2),
-                "ddim_N6_value": round(ddim, 4),
-            }
-        )
-    )
+    result = {
+        "metric": "wsj0_2mix_separation_throughput_N30",
+        "value": round(fused, 4),
+        "unit": "utt/sec/chip (5s@8kHz, nf=128, 60 NN evals/utt)",
+        "vs_baseline": round(fused / ref, 3),
+        "baseline_source": ref_source,
+        "vs_a100_sol_est": round(fused / 1.75, 2),
+        "vs_a100_realistic_est": round(fused / 0.8, 2),
+    }
+    sweep = _load_quality_sweep()
+    if sweep:
+        result["quality_nfe_sweep_demo"] = sweep
+    # THE graded line — printed before any optional extras so a budget
+    # kill during extras cannot lose the measurement.
+    print(json.dumps(result), flush=True)
+
+    if elapsed() > BUDGET_S:
+        log(f"skipping extras (t={elapsed():.0f}s > budget {BUDGET_S:.0f}s)")
+        return
+    try:
+        ddim = bench_ddim(model, params, mix_ddim)
+        log(f"ddim N=6: {ddim:.3f} utt/s")
+        result["ddim_N6_value"] = round(ddim, 4)
+        print(json.dumps(result), flush=True)  # superset re-print
+    except Exception as e:  # extras must never take down the graded result
+        log(f"ddim extras failed ({e})")
 
 
 if __name__ == "__main__":
