@@ -142,13 +142,59 @@ class ConditionalVarianceNorm2d(nn.Module):
         return gamma[:, None, None, :] * h
 
 
+class _TorchBatchNorm(nn.Module):
+    """Affine-free batch norm with torch nn.BatchNorm2d running-stat
+    semantics: train mode normalizes with the BIASED batch variance but
+    accumulates `running_var` from the UNBIASED estimate (m/(m-1)
+    correction), torch momentum 0.1. flax nn.BatchNorm accumulates the
+    biased variance, so native train-then-eval would drift from torch by
+    n/(n-1) on running_var (ADVICE r3); this module closes that gap.
+
+    Variable tree matches nn.BatchNorm (batch_stats/<name>/{mean,var}) so
+    converted torch running stats drop in unchanged."""
+
+    epsilon: float = 1e-5
+    momentum: float = 0.1  # torch convention: new = (1-m)*old + m*batch
+
+    @nn.compact
+    def __call__(self, x: Array, use_running_average: bool) -> Array:
+        nf = x.shape[-1]
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros(nf, jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones(nf, jnp.float32)
+        )
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            axes = tuple(range(x.ndim - 1))  # all but the feature axis
+            mean = jnp.mean(x, axis=axes)
+            var = jnp.var(x, axis=axes)  # biased: used for normalization
+            m = x.size // nf  # elements per feature
+            if not self.is_initializing():
+                unbiased = var * (m / max(m - 1, 1))
+                ra_mean.value = (
+                    (1 - self.momentum) * ra_mean.value + self.momentum * mean
+                )
+                ra_var.value = (
+                    (1 - self.momentum) * ra_var.value
+                    + self.momentum * unbiased
+                )
+        shape = (1,) * (x.ndim - 1) + (nf,)
+        return (x - mean.reshape(shape)) * jax.lax.rsqrt(
+            var.reshape(shape) + self.epsilon
+        )
+
+
 class ConditionalBatchNorm2d(nn.Module):
     """Class-conditional batch norm (normalization.py:45-71): affine-free
     BatchNorm2d followed by a per-class (gamma, beta) from an embedding.
 
     torch semantics: train mode normalizes with biased batch statistics
-    and maintains running stats (momentum 0.1 == flax momentum 0.9); eval
-    mode normalizes with the running stats (`batch_stats` collection)."""
+    and maintains running stats with torch's unbiased running_var update
+    (see _TorchBatchNorm); eval mode normalizes with the running stats
+    (`batch_stats` collection)."""
 
     num_features: int
     num_classes: int
@@ -156,14 +202,7 @@ class ConditionalBatchNorm2d(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, y: Array, train: bool = False) -> Array:
-        h = nn.BatchNorm(
-            use_running_average=not train,
-            momentum=0.9,
-            epsilon=1e-5,
-            use_bias=False,
-            use_scale=False,
-            name="bn",
-        )(x)
+        h = _TorchBatchNorm(name="bn")(x, use_running_average=not train)
         n = self.num_features
         if self.bias:
             embed = nn.Embed(

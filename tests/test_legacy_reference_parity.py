@@ -279,11 +279,24 @@ def test_conditional_batch_norm_train_and_eval(ref):
                    "var": np.ones(6, np.float32)},
         },
     }
-    got_train, _ = ours.apply(
+    got_train, mutated = ours.apply(
         variables, _nhwc(x), jnp.asarray(y), train=True,
         mutable=["batch_stats"],
     )
     _close(got_train, want_train)
+
+    # the mutated running stats must match torch's update (torch uses the
+    # UNBIASED batch variance for running_var, biased for normalization —
+    # ADVICE r3); m.bn started from the default mean=0/var=1 stats, so the
+    # one train pass above updated them identically on both sides
+    np.testing.assert_allclose(
+        mutated["batch_stats"]["bn"]["mean"], _np(m.bn.running_mean),
+        rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        mutated["batch_stats"]["bn"]["var"], _np(m.bn.running_var),
+        rtol=1e-5, atol=1e-6,
+    )
 
     # eval mode: normalize with the (converted) running statistics
     m.eval()
