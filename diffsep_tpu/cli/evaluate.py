@@ -187,9 +187,14 @@ def evaluate_split(
         results.append(
             {
                 "batch_idx": batch_idx,
-                "si_sdr": si_sdr.tolist()[0][:n_src],
-                "si_sir": si_sir.tolist()[0][:n_src],
-                "si_sar": si_sar.tolist()[0][:n_src],
+                # nested [[...]] on purpose: the reference records
+                # si_sdr.tolist()[:n_src] — the slice hits the BATCH axis of
+                # the (1, n_src) metric, so its JSON carries one nested list
+                # per record (evaluate.py:394-397, evaluate_mp.py:284-286)
+                # and every downstream consumer np.mean()s it
+                "si_sdr": si_sdr.tolist()[:n_src],
+                "si_sir": si_sir.tolist()[:n_src],
+                "si_sar": si_sar.tolist()[:n_src],
                 "pesq": p_esq,
                 "stoi": s_toi,
                 "nfe": int(np.asarray(nfe).ravel()[0]) if not no_proc else 0,
@@ -213,7 +218,10 @@ def evaluate_split(
 
     with open(output_dir / f"{split}.json", "w") as f:
         json.dump(results, f, indent=2)
-    summary = summarize([{k: v for k, v in r.items() if k != "batch_idx"} for r in results])
+    # summarize over the FULL records, batch_idx included — the reference's
+    # summary schema carries a (meaningless but present) mean sample index
+    # because its summarize averages every record key (evaluate.py:152-155)
+    summary = summarize(results)
     with open(output_dir / f"{split}_summary.json", "w") as f:
         json.dump(summary, f, indent=2)
     return results, summary
@@ -229,12 +237,15 @@ def main(argv=None):
     datasets = {}
 
     if no_proc:
+        # no fs argument on purpose: the reference's sentinel path
+        # constructs WSJ0_mix with the class default fs=16000
+        # (evaluate.py:243-254, wsj0_mix.py:29) so it scores wav16k/
         path, n_spkr, cut = "data/wsj0_mix", 2, "max"
         if args.val:
-            datasets["val"] = WSJ0_mix(path=path, n_spkr=n_spkr, cut=cut, split="val", fs=8000)
+            datasets["val"] = WSJ0_mix(path=path, n_spkr=n_spkr, cut=cut, split="val")
         if args.test:
-            datasets["test"] = WSJ0_mix(path=path, n_spkr=n_spkr, cut=cut, split="test", fs=8000)
-        model, params, sampler_kwargs, fs, n_src = None, None, {}, 8000, 2
+            datasets["test"] = WSJ0_mix(path=path, n_spkr=n_spkr, cut=cut, split="test")
+        model, params, sampler_kwargs, fs, n_src = None, None, {}, 16000, 2
         output_dir = args.output_dir / (args.tag or "mix")
     else:
         model, params = load_model(args.ckpt, avg_last_k=args.avg_last_k)

@@ -88,9 +88,11 @@ def evaluate_range_batched(
         )
         return {
             "batch_idx": idx,
-            "si_sdr": si_sdr.tolist()[0][:n_src],
-            "si_sir": si_sir.tolist()[0][:n_src],
-            "si_sar": si_sar.tolist()[0][:n_src],
+            # nested [[...]]: reference-exact record schema (the slice
+            # hits the batch axis; evaluate_mp.py:284-286)
+            "si_sdr": si_sdr.tolist()[:n_src],
+            "si_sir": si_sir.tolist()[:n_src],
+            "si_sar": si_sar.tolist()[:n_src],
             "pesq": p_esq,
             "stoi": s_toi,
             "nfe": int(nfe),
@@ -185,9 +187,9 @@ def evaluate_range(
         results.append(
             {
                 "batch_idx": idx,
-                "si_sdr": si_sdr.tolist()[0][:n_src],
-                "si_sir": si_sir.tolist()[0][:n_src],
-                "si_sar": si_sar.tolist()[0][:n_src],
+                "si_sdr": si_sdr.tolist()[:n_src],
+                "si_sir": si_sir.tolist()[:n_src],
+                "si_sar": si_sar.tolist()[:n_src],
                 "pesq": p_esq,
                 "stoi": s_toi,
                 "nfe": int(np.asarray(nfe).ravel()[0]),

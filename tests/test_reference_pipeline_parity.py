@@ -48,8 +48,12 @@ pytestmark = pytest.mark.skipif(
 
 def _install_torchaudio_stub():
     """Minimal torchaudio.transforms on top of torch.stft/istft — the same
-    ops torchaudio's own Spectrogram/InverseSpectrogram dispatch to."""
+    ops torchaudio's own Spectrogram/InverseSpectrogram dispatch to — plus
+    load()/set_audio_backend() (the only other torchaudio surface the
+    reference touches: datasets/wsj0_mix.py:8,12,81-84) on scipy.io.wavfile
+    with torchaudio's integer-PCM normalization."""
     if "torchaudio" in sys.modules:
+        _extend_torchaudio_io(sys.modules["torchaudio"])
         return
 
     class Spectrogram(torch.nn.Module):
@@ -139,16 +143,61 @@ def _install_torchaudio_stub():
     ta.transforms = tr
     sys.modules["torchaudio"] = ta
     sys.modules["torchaudio.transforms"] = tr
+    _extend_torchaudio_io(ta)
+
+
+def _extend_torchaudio_io(ta):
+    if hasattr(ta, "load"):
+        return
+
+    def load(path):
+        from scipy.io import wavfile
+
+        fs, data = wavfile.read(str(path))
+        if data.dtype == np.int16:
+            data = data.astype(np.float32) / 32768.0
+        elif data.dtype == np.int32:
+            data = data.astype(np.float32) / 2147483648.0
+        else:
+            data = data.astype(np.float32)
+        x = data[None, :] if data.ndim == 1 else data.T
+        return torch.from_numpy(np.ascontiguousarray(x)), int(fs)
+
+    ta.load = load
+    ta.set_audio_backend = lambda *a, **k: None
+
+
+class AttrDict(dict):
+    """dict with attribute access — stands in for OmegaConf DictConfig in
+    the reference's `self.config.model.*` attribute chains."""
+
+    def __getattr__(self, k):
+        try:
+            v = self[k]
+        except KeyError:
+            raise AttributeError(k)
+        return v
+
+
+def _attrify(x):
+    if isinstance(x, dict):
+        return AttrDict({k: _attrify(v) for k, v in x.items()})
+    if isinstance(x, list):
+        return [_attrify(v) for v in x]
+    return x
 
 
 def _install_hydra_stub():
-    """hydra.utils.instantiate for plain dicts with _target_ (the only use
-    inside models/score_models.py)."""
+    """hydra.utils.instantiate for dict-likes with _target_ (the only uses:
+    models/score_models.py:7, pl_model.py:17 — including pl_model's
+    `_recursive_=False` construction flag, which hydra consumes rather than
+    forwards)."""
     if "hydra" in sys.modules:
         return
     import importlib
 
     def instantiate(cfg, **kw):
+        kw.pop("_recursive_", None)
         cfg = dict(cfg)
         target = cfg.pop("_target_")
         mod, _, name = target.rpartition(".")
@@ -441,8 +490,36 @@ def _install_ref_pl_stubs():
     _install_pl_stub()
     _install_hydra_stub()
     pl = sys.modules["pytorch_lightning"]
-    if not hasattr(pl, "LightningModule"):
-        pl.LightningModule = torch.nn.Module
+
+    class _LightningModule(torch.nn.Module):
+        """The LightningModule surface DiffSepModel actually touches on the
+        inference path: save_hyperparameters (no-op — hparams live in the
+        checkpoint we write ourselves) and load_from_checkpoint (restore
+        from 'hyper_parameters'/'state_dict' + the model's own
+        on_load_checkpoint hook, Lightning's documented layout)."""
+
+        def save_hyperparameters(self, *a, **k):
+            pass
+
+        def on_load_checkpoint(self, checkpoint):
+            pass
+
+        def on_save_checkpoint(self, checkpoint):
+            pass
+
+        @classmethod
+        def load_from_checkpoint(cls, path, **kw):
+            ckpt = torch.load(
+                str(path), map_location="cpu", weights_only=False
+            )
+            model = cls(_attrify(ckpt["hyper_parameters"]["config"]))
+            model.load_state_dict(ckpt["state_dict"])
+            model.on_load_checkpoint(ckpt)
+            return model
+
+    pl.LightningModule = _LightningModule
+    if not hasattr(pl, "LightningDataModule"):
+        pl.LightningDataModule = type("LightningDataModule", (), {})
     if "pytorch_lightning.callbacks" not in sys.modules:
         cb = types.ModuleType("pytorch_lightning.callbacks")
 
@@ -469,15 +546,62 @@ def _install_ref_pl_stubs():
         om.omegaconf = omo
         sys.modules["omegaconf"] = om
         sys.modules["omegaconf.omegaconf"] = omo
-    if "torch_ema" not in sys.modules:
-        te = types.ModuleType("torch_ema")
+    om = sys.modules["omegaconf"]
+    if not hasattr(om, "OmegaConf"):
+        om.OmegaConf = types.SimpleNamespace()
+    if not hasattr(om, "DictConfig"):
+        om.DictConfig = AttrDict
+    if not hasattr(om, "open_dict"):
+        om.open_dict = om.omegaconf.open_dict
+    te = sys.modules.setdefault("torch_ema", types.ModuleType("torch_ema"))
 
-        class ExponentialMovingAverage:
-            def __init__(self, parameters, decay):
-                pass
+    class ExponentialMovingAverage:
+        """Functional torch_ema stand-in: shadow over requires_grad params
+        (torch_ema filters exactly so), store/copy_to/restore as used by the
+        reference's eval()/train() EMA weight swap (pl_model.py:650-670)."""
 
-        te.ExponentialMovingAverage = ExponentialMovingAverage
-        sys.modules["torch_ema"] = te
+        def __init__(self, parameters, decay):
+            self.decay = decay
+            self.shadow_params = [
+                p.detach().clone() for p in parameters if p.requires_grad
+            ]
+            self.collected_params = None
+
+        def load_state_dict(self, sd):
+            self.decay = sd.get("decay", self.decay)
+            self.shadow_params = [
+                t.clone() if torch.is_tensor(t) else torch.as_tensor(t)
+                for t in sd["shadow_params"]
+            ]
+
+        def state_dict(self):
+            return {
+                "decay": self.decay,
+                "num_updates": 0,
+                "shadow_params": self.shadow_params,
+            }
+
+        def store(self, parameters):
+            self.collected_params = [
+                p.detach().clone() for p in parameters if p.requires_grad
+            ]
+
+        def copy_to(self, parameters):
+            with torch.no_grad():
+                ps = [p for p in parameters if p.requires_grad]
+                for p, s in zip(ps, self.shadow_params):
+                    p.copy_(s)
+
+        def restore(self, parameters):
+            with torch.no_grad():
+                ps = [p for p in parameters if p.requires_grad]
+                for p, c in zip(ps, self.collected_params):
+                    p.copy_(c)
+
+        def to(self, *a, **k):
+            return self
+
+    te.ExponentialMovingAverage = ExponentialMovingAverage
 
 
 @pytest.fixture(scope="module")
