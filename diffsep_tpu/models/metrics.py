@@ -172,6 +172,43 @@ def _remove_silent_frames(x: np.ndarray, y: np.ndarray):
     return xs, ys
 
 
+def _estoi_segment_d(Xs: np.ndarray, Ys: np.ndarray) -> np.ndarray:
+    """Extended-STOI intermediate intelligibility per segment.
+
+    Xs, Ys: (bands, n_seg, seg_len) clean/degraded band envelopes.
+    Jensen & Taal 2016 eq. (5): row-normalize over time, column-normalize
+    over bands, then d_m = (1/N) sum_n x_n^T y_n over the N time columns
+    (pystoi divides by N, not by the band count; identical signals must
+    score exactly 1.0 — regression-tested, and the stage is anchored by
+    hand-computed cases in tests/test_metrics.py)."""
+
+    def _norm(a, axis):
+        c = a - a.mean(axis, keepdims=True)
+        return c / (np.linalg.norm(c, axis=axis, keepdims=True) + _EPS)
+
+    Xn = _norm(_norm(Xs, 2), 0)
+    Yn = _norm(_norm(Ys, 2), 0)
+    return np.sum(Xn * Yn, axis=(0, 2)) / Xs.shape[2]  # (n_seg,)
+
+
+def _stoi_segment_d(Xs: np.ndarray, Ys: np.ndarray) -> np.ndarray:
+    """Standard-STOI intermediate measure per (band, segment).
+
+    Taal et al. 2011: per segment, scale the degraded envelope to the
+    clean energy, clip at (1 + 10^(-beta/20)) times the clean envelope,
+    then correlate. Returns the per-segment band-mean d (n_seg,)."""
+    alpha = np.linalg.norm(Xs, axis=2, keepdims=True) / (
+        np.linalg.norm(Ys, axis=2, keepdims=True) + _EPS
+    )
+    Yc = np.minimum(Ys * alpha, Xs * (1.0 + 10.0 ** (-_BETA_DB / 20.0)))
+    xm = Xs - Xs.mean(2, keepdims=True)
+    ym = Yc - Yc.mean(2, keepdims=True)
+    d = np.sum(xm * ym, axis=2) / (
+        np.linalg.norm(xm, axis=2) * np.linalg.norm(ym, axis=2) + _EPS
+    )
+    return d.mean(axis=0)  # (n_seg,)
+
+
 def stoi(ref, est, fs: int, extended: bool = False) -> float:
     """Short-Time Objective Intelligibility of `est` against clean `ref`."""
     from scipy.signal import resample_poly
@@ -203,28 +240,7 @@ def stoi(ref, est, fs: int, extended: bool = False) -> float:
     Ys = np.ascontiguousarray(
         np.lib.stride_tricks.sliding_window_view(Y, _SEG_LEN, axis=1)
     )
-    if extended:
-        # row-normalize over time, then column-normalize over bands
-        def _norm(a, axis):
-            c = a - a.mean(axis, keepdims=True)
-            return c / (np.linalg.norm(c, axis=axis, keepdims=True) + _EPS)
-
-        # Jensen & Taal 2016 eq. (5): d_m = (1/N) sum_n x_n^T y_n over the
-        # N = 30 time columns (pystoi divides by N, not by the band count;
-        # identical signals must score exactly 1.0 — regression-tested).
-        Xn = _norm(_norm(Xs, 2), 0)
-        Yn = _norm(_norm(Ys, 2), 0)
-        corrs = np.sum(Xn * Yn, axis=(0, 2)) / _SEG_LEN  # (n_seg,)
-    else:
-        # scale + clip the degraded band envelopes
-        alpha = np.linalg.norm(Xs, axis=2, keepdims=True) / (
-            np.linalg.norm(Ys, axis=2, keepdims=True) + _EPS
-        )
-        Yc = np.minimum(Ys * alpha, Xs * (1.0 + 10.0 ** (-_BETA_DB / 20.0)))
-        xm = Xs - Xs.mean(2, keepdims=True)
-        ym = Yc - Yc.mean(2, keepdims=True)
-        d = np.sum(xm * ym, axis=2) / (
-            np.linalg.norm(xm, axis=2) * np.linalg.norm(ym, axis=2) + _EPS
-        )
-        corrs = d.mean(axis=0)  # (n_seg,)
+    corrs = (
+        _estoi_segment_d(Xs, Ys) if extended else _stoi_segment_d(Xs, Ys)
+    )
     return float(np.mean(corrs))

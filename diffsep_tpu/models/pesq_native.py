@@ -34,6 +34,20 @@ Conformance status (kept honest):
     bit-conformant to the ITU implementation. When the `pesq` package is
     installed it takes precedence automatically (see `get_pesq`).
 
+    Why the exact ITU tables are NOT transcribed here (round-4 decision):
+    the per-band constants of the P.862 reference code
+    (centre_of_band_bark / width_of_band_bark / pow_dens_correction_factor
+    / abs_thresh_power — 42 resp. 49 entries of 6+ significant digits per
+    rate) exist only in the ITU reference C sources, which are not present
+    in this sealed build image (no `pesq` wheel, no ITU code on disk,
+    egress blocked — verified by search).  Writing them "from memory"
+    would be silent fabrication with no way to verify, strictly worse
+    than the documented analytic approximation above, whose provenance
+    (published closed-form Bark/threshold curves) is at least honest.
+    When egress exists: drop the ITU tables in, re-run the calibration
+    grid (see the grid-search notes above _P0_1K below), and flip this
+    note.
+
 Use `get_pesq()` everywhere instead of importing the package directly.
 """
 from __future__ import annotations
