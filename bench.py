@@ -212,17 +212,25 @@ def bench_reference_style(model, params, mix):
 
 def _load_quality_sweep():
     """N-sweep SI-SDR of the fast-path predictors on the demo-trained model
-    (VERDICT r3 item 8). Read from scripts/train_demo_result.json if it
-    carries the sweep (regenerated by scripts/train_demo.py --sweep);
-    absent -> omitted rather than faked."""
+    (VERDICT r3 item 8): assembled from scripts/train_demo_result.json's
+    flat si_sdr_* keys (written by scripts/train_demo.py — the N=30 PC
+    anchor, the mixture floor, and ddim/dpmpp at N in {4,6,8}).  If the
+    stored record predates the sweep keys, the field is omitted rather
+    than faked."""
     try:
         path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "scripts", "train_demo_result.json")
         with open(path) as f:
             rec = json.load(f)
-        sweep = rec.get("quality_nfe_sweep")
-        if sweep:
+        sweep = {
+            k: v for k, v in rec.items()
+            if k.startswith("si_sdr_") and isinstance(v, (int, float))
+        }
+        # require at least one actual N-sweep entry, not just the anchors
+        if any("_n4_" in k or "_n6_" in k or "_n8_" in k for k in sweep):
+            sweep["train_steps"] = rec.get("steps")
             return sweep
+        log("quality sweep keys absent from train_demo_result.json")
     except Exception as e:  # pragma: no cover - diagnostics only
         log(f"quality sweep unavailable ({e})")
     return None

@@ -168,7 +168,7 @@ def main(argv=None):
 
     args.output_dir.mkdir(parents=True, exist_ok=True)
 
-    from ..train.losses import denormalize_batch, normalize_batch
+    from ..train.losses import normalize_batch
 
     key = jax.random.PRNGKey(args.seed)
     files = sorted(args.input_dir.glob("*.wav"))
@@ -201,7 +201,7 @@ def main(argv=None):
         mix = jnp.asarray(waveform)[None]  # (1, 1, T)
         # normalize on the true length, then pad to the bucket so XLA
         # compiles one program per bucket instead of one per file
-        (mix_n, _), mean, std = normalize_batch(mix, None)
+        (mix_n, _), _, _ = normalize_batch(mix, None)
         n = mix_n.shape[-1]
         padded = -(-n // bucket) * bucket
         mix_p = jnp.pad(mix_n, ((0, 0), (0, 0), (0, padded - n)))
@@ -211,8 +211,11 @@ def main(argv=None):
             key=jax.random.fold_in(key, i), **kw,
         )
         est, _ = sampler()
-        est = denormalize_batch(est[..., :n], mean, std)
-        est = scale_output(np.asarray(mix), np.asarray(est))
+        # no denormalize: the reference projects the RAW mixture onto the
+        # normalized-domain estimates (separate.py:85-97) — scale_output
+        # absorbs the std exactly, and adding the mean back first would
+        # shift the projection by a spurious DC component
+        est = scale_output(np.asarray(mix), np.asarray(est[..., :n]))
         for src in range(est.shape[1]):
             out = args.output_dir / f"s{src}" / f"{wavpath.stem}.wav"
             save_wav(out, est[0, src : src + 1], sr)

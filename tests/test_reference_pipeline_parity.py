@@ -164,6 +164,18 @@ def _extend_torchaudio_io(ta):
         return torch.from_numpy(np.ascontiguousarray(x)), int(fs)
 
     ta.load = load
+
+    def save(path, x, sr, format=None):
+        from scipy.io import wavfile
+
+        arr = x.detach().cpu().numpy() if torch.is_tensor(x) else np.asarray(x)
+        if arr.ndim == 2:
+            arr = arr.T  # scipy expects (samples, channels)
+            if arr.shape[-1] == 1:
+                arr = arr[:, 0]
+        wavfile.write(str(path), int(sr), arr.astype(np.float32))
+
+    ta.save = save
     ta.set_audio_backend = lambda *a, **k: None
 
 
