@@ -71,6 +71,53 @@ def summarize(results):
     return dict(summary)
 
 
+def summarize_mp(results, ignore_inf=True):
+    """evaluate_mp.py:133-151's summary variant: results is a DICT keyed by
+    sample index; each metric is averaged over its own finite-count
+    denominator (inf records are skipped per metric when ignore_inf), and
+    the batch_idx key rides along like every other record key."""
+    metrics = set()
+    summary = defaultdict(lambda: 0.0)
+    denominator = defaultdict(lambda: 0)
+    for res in results.values():
+        for met, val in res.items():
+            metrics.add(met)
+            vals = np.atleast_1d(np.asarray(val, dtype=np.float64))
+            finite = vals[np.isfinite(vals)]
+            val_mean = finite.mean() if finite.size else np.nan
+            if ignore_inf or np.isfinite(val_mean):
+                if np.isfinite(val_mean):
+                    summary[met] += val_mean
+                    denominator[met] += 1
+        summary["number"] += 1
+    for met in metrics:
+        d = denominator[met]
+        summary[met] = float(summary[met] / d) if d else float("nan")
+    summary["number"] = int(summary["number"])
+    return dict(summary)
+
+
+def experiment_tag(ckpt, tag):
+    """`{exp_name}_{ckpt_name}` output-dir tag shared by both eval CLIs
+    (evaluate.py:306-313, evaluate_mp.py:448-455): exp_name is the
+    checkpoint's grandparent directory (the experiment dir holding
+    hparams.yaml), ckpt_name its stem."""
+    ckpt = Path(ckpt)
+    if tag is not None:
+        return tag
+    # resolve() first: a bare relative filename ("checkpoint.pt") has no
+    # parents[1] and raised IndexError
+    exp_name = (
+        ckpt.resolve().parents[1].name if ckpt.is_file() else ckpt.name
+    )
+    out = f"{exp_name}_{ckpt.stem}"
+    if len(out) > 80:  # keep names filesystem-safe
+        import hashlib
+
+        out = out[:64] + "-" + hashlib.sha1(out.encode()).hexdigest()[:8]
+    return out
+
+
 def save_samples(mix, x_result, target, wav_out_dir, fs, batch_idx):
     """Normalized mix/estimates/targets wavs (evaluate.py:64-100)."""
     wav_out_dir = Path(wav_out_dir)

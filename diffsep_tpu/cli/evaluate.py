@@ -269,19 +269,12 @@ def main(argv=None):
             n_src = 2
 
         sampler_kwargs, tag_inf = sampler_run_config(cfg, args, args.ckpt)
-        # resolve() first: a bare relative filename ("checkpoint.pt") has no
-        # parents[1] and raised IndexError
-        exp_name = (
-            args.ckpt.resolve().parents[1].name
-            if args.ckpt.is_file()
-            else Path(args.ckpt).name
-        )
-        tag = args.tag or f"{exp_name}_{Path(args.ckpt).stem}"
-        if len(tag) > 80:  # keep names filesystem-safe
-            import hashlib
+        from .eval_common import experiment_tag
 
-            tag = tag[:64] + "-" + hashlib.sha1(tag.encode()).hexdigest()[:8]
-        output_dir = args.output_dir / f"{tag}_{tag_inf}"
+        output_dir = (
+            args.output_dir
+            / f"{experiment_tag(args.ckpt, args.tag)}_{tag_inf}"
+        )
 
     for split, ds in datasets.items():
         evaluate_split(

@@ -30,7 +30,7 @@ import numpy as np
 from ..data import DataLoader, WSJ0_mix
 from ..train.losses import normalize_batch, normalize_rows_host
 from .eval_common import (
-    compute_metrics, sampler_run_config, str2bool, summarize,
+    compute_metrics, sampler_run_config, str2bool, summarize_mp,
 )
 from .loading import load_model
 
@@ -204,6 +204,36 @@ def evaluate_range(
     return results
 
 
+def evaluate_range_no_proc(dataset, start, stop, fs, n_src, pesq_mode,
+                           stoi_extended):
+    """__no_proc__ floor: score the raw mixture broadcast to every source
+    (evaluate_mp.py:165-171, 245-250) — nfe=0, runtime=0."""
+    results = []
+    for idx in range(start, stop):
+        mix, target = dataset[idx]
+        mix = np.asarray(mix)[None]
+        target = np.asarray(target)[None]
+        x_result = np.broadcast_to(mix, target.shape)
+        si_sdr, si_sir, si_sar, p_esq, s_toi, _ = compute_metrics(
+            target, x_result, fs,
+            pesq_mode=pesq_mode, stoi_extended=stoi_extended, n_src=n_src,
+        )
+        results.append(
+            {
+                "batch_idx": idx,
+                "si_sdr": si_sdr.tolist()[:n_src],
+                "si_sir": si_sir.tolist()[:n_src],
+                "si_sar": si_sar.tolist()[:n_src],
+                "pesq": p_esq,
+                "stoi": s_toi,
+                "nfe": 0,
+                "runtime": 0.0,
+                "len_s": float(target.shape[-1] / fs),
+            }
+        )
+    return results
+
+
 def main(argv=None):
     logging.basicConfig(level=logging.INFO)
     parser = argparse.ArgumentParser(
@@ -254,14 +284,26 @@ def main(argv=None):
     )
     args = parser.parse_args(argv)
 
-    model, params = load_model(args.ckpt, avg_last_k=args.avg_last_k)
-    cfg = model.config
-    fs = int(cfg.model.fs)
-    n_src = int(cfg.model.n_speakers)
+    no_proc = str(args.ckpt) == "__no_proc__"
+    if no_proc:
+        # reference sentinel (evaluate_mp.py:165-171,425-429): score the raw
+        # mixture; datasets at WSJ0_mix's default fs=16000, dir "mix"
+        model, params, sampler_kwargs = None, None, {}
+        fs, n_src = 16000, 2
+        output_dir = args.output_dir / (args.tag or "mix")
+    else:
+        model, params = load_model(args.ckpt, avg_last_k=args.avg_last_k)
+        cfg = model.config
+        fs = int(cfg.model.fs)
+        n_src = int(cfg.model.n_speakers)
 
-    sampler_kwargs, tag_inf = sampler_run_config(cfg, args, args.ckpt)
-    tag = args.tag or Path(args.ckpt).stem
-    output_dir = args.output_dir / f"{tag}_{tag_inf}"
+        sampler_kwargs, tag_inf = sampler_run_config(cfg, args, args.ckpt)
+        from .eval_common import experiment_tag
+
+        output_dir = (
+            args.output_dir
+            / f"{experiment_tag(args.ckpt, args.tag)}_{tag_inf}"
+        )
     output_dir.mkdir(parents=True, exist_ok=True)
 
     devices = jax.devices()
@@ -269,10 +311,22 @@ def main(argv=None):
         devices = [devices[i] for i in args.device]
 
     for split in args.splits:
-        node = cfg.datamodule.get(split) or cfg.datamodule.get("test")
-        ds_cfg = dict(node["dataset"])
-        ds_cfg.pop("_target_", None)
-        dataset = WSJ0_mix(**ds_cfg)
+        if no_proc:
+            dataset = WSJ0_mix(
+                path="data/wsj0_mix", n_spkr=2, cut="max",
+                split="test" if split == "test" else "val",
+            )
+        else:
+            node = cfg.datamodule.get(split) or cfg.datamodule.get("test")
+            ds_cfg = dict(node["dataset"])
+            ds_cfg.pop("_target_", None)
+            if not Path(ds_cfg["path"]).exists():
+                # reference fallback (evaluate_mp.py:187-191)
+                ds_cfg["path"] = (
+                    "./data/wsj0_mix" if split in ("val", "test")
+                    else "./data/LibriMix"
+                )
+            dataset = WSJ0_mix(**ds_cfg)
         n_items = len(dataset)
         if args.limit is not None:
             n_items = min(n_items, args.limit)
@@ -285,7 +339,12 @@ def main(argv=None):
         threads = []
         for t_id, ((start, stop), device) in enumerate(zip(tasks, devices)):
             def work(t_id=t_id, start=start, stop=stop, device=device):
-                if args.batch_size:
+                if no_proc:
+                    all_results[t_id] = evaluate_range_no_proc(
+                        dataset, start, stop, fs, n_src, args.pesq_mode,
+                        not args.stoi_no_extended,
+                    )
+                elif args.batch_size:
                     all_results[t_id] = evaluate_range_batched(
                         model, params, dataset, start, stop, device, fs,
                         n_src, sampler_kwargs, args.pesq_mode,
@@ -307,13 +366,16 @@ def main(argv=None):
         for th in threads:
             th.join()
 
-        results = [r for chunk in all_results if chunk for r in chunk]
-        results.sort(key=lambda r: r["batch_idx"])
+        rows = [r for chunk in all_results if chunk for r in chunk]
+        rows.sort(key=lambda r: r["batch_idx"])
+        # reference-exact schema: the mp tool's {split}.json is a DICT
+        # keyed by sample index (evaluate_mp.py:282,515-520), and its
+        # summary variant averages each metric over its own finite count
+        # with batch_idx riding along (evaluate_mp.py:133-151)
+        results = {r["batch_idx"]: r for r in rows}
         with open(output_dir / f"{split}.json", "w") as f:
             json.dump(results, f, indent=2)
-        summary = summarize(
-            [{k: v for k, v in r.items() if k != "batch_idx"} for r in results]
-        )
+        summary = summarize_mp(results)
         with open(output_dir / f"{split}_summary.json", "w") as f:
             json.dump(summary, f, indent=2)
         log.info("%s summary: %s", split, summary)

@@ -166,7 +166,10 @@ def test_evaluate_mp_cli(trained_run_dir, wsj0_tree, tmp_path, monkeypatch):
     out_dirs = list(out.iterdir())
     assert len(out_dirs) == 1
     res = json.loads((out_dirs[0] / "test.json").read_text())
-    assert [r["batch_idx"] for r in res] == [0, 1]
+    # reference-exact mp schema: dict keyed by (stringified) sample index
+    assert isinstance(res, dict)
+    assert [r["batch_idx"] for r in res.values()] == [0, 1]
+    assert sorted(res.keys()) == ["0", "1"]
     assert (out_dirs[0] / "test_summary.json").exists()
 
 
@@ -276,7 +279,7 @@ def test_evaluate_mp_batched(trained_run_dir, wsj0_tree, tmp_path, monkeypatch):
         ]
     )
     out_dirs = list(out.iterdir())
-    res = json.loads((out_dirs[0] / "test.json").read_text())
+    res = list(json.loads((out_dirs[0] / "test.json").read_text()).values())
     assert [r["batch_idx"] for r in res] == [0, 1]
     lens = sorted(r["len_s"] for r in res)
     assert lens[0] != lens[1]  # unpadded lengths preserved per utterance

@@ -559,8 +559,20 @@ def _install_ref_pl_stubs():
         sys.modules["omegaconf"] = om
         sys.modules["omegaconf.omegaconf"] = omo
     om = sys.modules["omegaconf"]
-    if not hasattr(om, "OmegaConf"):
-        om.OmegaConf = types.SimpleNamespace()
+
+    class _OmegaConf:
+        @staticmethod
+        def load(path):
+            import yaml
+
+            with open(path) as f:
+                return _attrify(yaml.safe_load(f))
+
+        @staticmethod
+        def create(obj=None):
+            return _attrify(obj if obj is not None else {})
+
+    om.OmegaConf = _OmegaConf
     if not hasattr(om, "DictConfig"):
         om.DictConfig = AttrDict
     if not hasattr(om, "open_dict"):
