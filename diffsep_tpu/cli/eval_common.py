@@ -72,27 +72,28 @@ def summarize(results):
 
 
 def summarize_mp(results, ignore_inf=True):
-    """evaluate_mp.py:133-151's summary variant: results is a DICT keyed by
-    sample index; each metric is averaged over its own finite-count
-    denominator (inf records are skipped per metric when ignore_inf), and
-    the batch_idx key rides along like every other record key."""
+    """evaluate_mp.py:133-151's summary variant, semantics preserved
+    exactly: results is a DICT keyed by sample index; per record, each
+    metric's mean is ADDED unless (ignore_inf is False AND the mean is
+    inf) — i.e. the flag IGNORES the inf check rather than ignoring infs
+    (an inf poisons the summary at the default ignore_inf=True, and NaN
+    always passes); each metric divides by its own add-count, and the
+    batch_idx key rides along like every other record key."""
     metrics = set()
     summary = defaultdict(lambda: 0.0)
     denominator = defaultdict(lambda: 0)
     for res in results.values():
         for met, val in res.items():
             metrics.add(met)
-            vals = np.atleast_1d(np.asarray(val, dtype=np.float64))
-            finite = vals[np.isfinite(vals)]
-            val_mean = finite.mean() if finite.size else np.nan
-            if ignore_inf or np.isfinite(val_mean):
-                if np.isfinite(val_mean):
-                    summary[met] += val_mean
-                    denominator[met] += 1
+            val_mean = np.mean(np.asarray(val, dtype=np.float64))
+            if ignore_inf or not np.isinf(val_mean):
+                summary[met] += val_mean
+                denominator[met] += 1
         summary["number"] += 1
     for met in metrics:
         d = denominator[met]
-        summary[met] = float(summary[met] / d) if d else float("nan")
+        with np.errstate(invalid="ignore", divide="ignore"):
+            summary[met] = float(np.float64(summary[met]) / d)
     summary["number"] = int(summary["number"])
     return dict(summary)
 

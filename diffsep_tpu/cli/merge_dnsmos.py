@@ -15,7 +15,7 @@ import logging
 from collections import defaultdict
 from pathlib import Path
 
-from .eval_common import summarize
+from .eval_common import summarize_mp
 
 log = logging.getLogger(__name__)
 
@@ -88,6 +88,8 @@ def merge_split(results_path: Path, dnsmos_path: Path, overwrite: bool):
         results = json.load(f)
 
     if isinstance(results, list):
+        # evaluate.py writes list records; the mp tool (and the reference's
+        # merge) use the dict format — normalize to it for the summary
         for pos, entry in enumerate(results):
             # positional fallback, NOT results.index(entry): dict-equality
             # lookup maps duplicate rows onto the first one's index
@@ -95,17 +97,20 @@ def merge_split(results_path: Path, dnsmos_path: Path, overwrite: bool):
             if idx not in dnsmos:
                 raise ValueError(f"Sample {idx} not found in DNSMOS file")
             entry.update(dnsmos[idx])
-        rows = [
-            {k: v for k, v in r.items() if k != "batch_idx"} for r in results
-        ]
+        as_dict = {
+            int(e.get("batch_idx", pos)): e for pos, e in enumerate(results)
+        }
     else:
         for idx, metrics in results.items():
             if int(idx) not in dnsmos:
                 raise ValueError(f"Sample {idx} not found in DNSMOS file")
             metrics.update(dnsmos[int(idx)])
-        rows = list(results.values())
+        as_dict = results
 
-    summary = summarize(rows)
+    # reference semantics (merge_dnsmos.py:146): the mp summary variant
+    # with ignore_inf=False — an inf metric poisons its mean — and
+    # batch_idx riding along
+    summary = summarize_mp(as_dict, ignore_inf=False)
     split = results_path.stem
     base = results_path.parent
     if overwrite:
