@@ -19,7 +19,7 @@ import numpy as np
 from ..data.audio_io import load_wav
 from ..models.composite import eval_composite
 from ..utils import ProcessingPool
-from .eval_common import summarize
+from .eval_common import summarize_mp
 
 log = logging.getLogger(__name__)
 
@@ -83,7 +83,9 @@ def main(argv=None):
         for met in ("csig", "cbak", "covl"):
             entry.setdefault(met, []).append(res[met])
 
-    summary = summarize(list(output.values()))
+    # reference semantics (evaluate_covl.py:15,469): evaluate_mp's summarize
+    # over the dict-keyed output at its default ignore_inf=True
+    summary = summarize_mp(output)
     log.info("%s", summary)
 
     with open(output_path / f"{split}_covl.json", "w") as f:

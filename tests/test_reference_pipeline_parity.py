@@ -572,6 +572,17 @@ def _install_ref_pl_stubs():
         def create(obj=None):
             return _attrify(obj if obj is not None else {})
 
+        @staticmethod
+        def is_config(obj):
+            # the stub's "DictConfig" is a plain dict subclass; nothing in
+            # these tests is a real OmegaConf node (our own export path
+            # probes this when the stub has leaked into sys.modules)
+            return False
+
+        @staticmethod
+        def to_container(obj, resolve=True):
+            return obj
+
     om.OmegaConf = _OmegaConf
     if not hasattr(om, "DictConfig"):
         om.DictConfig = AttrDict
