@@ -389,3 +389,150 @@ def test_reference_test_split_target_defect(eval_env, tmp_path):
     accepts --test (it pops _target_ for every split)."""
     with pytest.raises(TypeError, match="_target_"):
         _run_reference_cli(eval_env, tmp_path / "ref_results", ["--test"])
+
+
+# ===========================================================================
+# --enhance mode (the noise-reduction recipe's eval path): PriorMixSDE +
+# NoisyDataset, n_src=1 (evaluate.py:267-271)
+# ===========================================================================
+
+
+@pytest.fixture(scope="module")
+def enhance_env(tmp_path_factory):
+    """Synthetic VCTK-DEMAND tree (test split, 16 kHz) + a reference-layout
+    checkpoint whose config is the nr recipe's shape: PriorMixSDE
+    (config/model/nr.yaml:31-37) and a NoisyDataset test entry."""
+    import yaml
+
+    sys.path.insert(0, str(REF))
+    try:
+        from tests.test_ncsnpp import _install_reference_op_stub
+
+        _install_reference_op_stub()
+        _install_torchaudio_stub()
+        _install_hydra_stub()
+        from models.score_models import ScoreModelNCSNpp as TorchScoreModel
+    finally:
+        sys.path.remove(str(REF))
+
+    fs = 16000
+    root = tmp_path_factory.mktemp("vctk")
+    rng = np.random.default_rng(17)
+    t = np.arange(fs) / fs  # exactly one 1-s bucket
+    for d in ("noisy", "clean"):
+        (root / "test" / d).mkdir(parents=True)
+    for i in range(N_UTT):
+        clean = 0.3 * np.sin(2 * np.pi * (230 + 70 * i) * t)
+        clean += 0.01 * rng.standard_normal(fs)
+        noisy = clean + 0.08 * rng.standard_normal(fs)
+        _write_wav(root / "test" / "clean" / f"p{i}.wav", clean, fs=fs)
+        _write_wav(root / "test" / "noisy" / f"p{i}.wav", noisy, fs=fs)
+
+    torch.manual_seed(1)
+    stft = {"n_fft": 126, "hop_length": 32, "center": True,
+            "pad_mode": "constant"}
+    score_cfg = {
+        "_target_": "models.score_models.ScoreModelNCSNpp",
+        "num_sources": 2,
+        "stft_args": stft,
+        "backbone_args": {"_target_": "models.ncsnpp.NCSNpp", **BACKBONE},
+        "transform": "exponent",
+        "spec_abs_exponent": 0.5,
+        "spec_factor": 0.33,
+        "spec_trans_learnable": False,
+    }
+    tm = TorchScoreModel(
+        **{k: v for k, v in score_cfg.items() if k != "_target_"}
+    )
+    tm.eval()
+
+    config = {
+        "model": {
+            "n_speakers": 2,
+            "fs": fs,
+            "t_eps": 0.03,
+            "ema_decay": 0.999,
+            "score_model": score_cfg,
+            "sde": {"_target_": "sdes.sdes.PriorMixSDE", **SDE_ARGS},
+            "sampler": {"N": 4, "snr": 0.5, "corrector_steps": 1},
+            "loss": {"_target_": "torch.nn.MSELoss"},
+            "val_losses": {},
+            "optimizer": {"_target_": "torch.optim.Adam", "lr": 1e-4},
+            "grad_clipper": {
+                "_target_": "utils.FixedClipper", "max_norm": 5.0,
+            },
+        },
+        "trainer": {"accumulate_grad_batches": 1},
+        "datamodule": {
+            "test": {
+                "dl_opts": {},
+                "dataset": {
+                    "_target_": "datasets.NoisyDataset",
+                    "audio_path": str(root),
+                    "audio_len": 4,
+                    "fs": fs,
+                    "augmentation": False,
+                    "split": "test",
+                },
+            },
+        },
+    }
+    exp_dir = tmp_path_factory.mktemp("nr_exp")
+    (exp_dir / "checkpoints").mkdir()
+    ckpt_path = exp_dir / "checkpoints" / "checkpoint.pt"
+    shadow = [p.detach().clone() for p in tm.parameters() if p.requires_grad]
+    torch.save(
+        {
+            "state_dict": {
+                f"score_model.{k}": v for k, v in tm.state_dict().items()
+            },
+            "ema": {"decay": 0.999, "num_updates": 10,
+                    "shadow_params": shadow},
+            "hyper_parameters": {"config": config},
+        },
+        ckpt_path,
+    )
+    with open(exp_dir / "hparams.yaml", "w") as f:
+        yaml.safe_dump({"config": config}, f)
+    return types.SimpleNamespace(root=root, ckpt=ckpt_path)
+
+
+def test_evaluate_cli_enhance_mode_parity(enhance_env, monkeypatch,
+                                          tmp_path):
+    """--enhance end to end on both CLIs: PriorMixSDE's power-envelope
+    prior/marginals through the real sampler, the NoisyDataset test
+    contract (tgt = [clean, noisy-clean]), n_src=1 metric slicing, and the
+    same records/summary/dirname."""
+    _zero_noise_both(monkeypatch)
+
+    ref_out = tmp_path / "ref_results"
+    _run_reference_cli(enhance_env, ref_out, ["--test", "--enhance",
+                                              "-N", "3"])
+
+    from diffsep_tpu import model as model_mod
+    from diffsep_tpu.cli import evaluate as our_eval
+
+    model_mod._jit_pc_sample.clear_cache()
+    our_out = tmp_path / "our_results"
+    our_eval.main(
+        [str(enhance_env.ckpt), "-o", str(our_out), "--test", "--enhance",
+         "-N", "3", "--save-n", "0"]
+    )
+
+    ref_dirs = sorted(p.name for p in ref_out.iterdir())
+    our_dirs = sorted(p.name for p in our_out.iterdir())
+    assert ref_dirs == our_dirs, (ref_dirs, our_dirs)
+
+    ref_recs = json.loads((ref_out / ref_dirs[0] / "test.json").read_text())
+    our_recs = json.loads((our_out / our_dirs[0] / "test.json").read_text())
+    assert len(ref_recs) == len(our_recs) == N_UTT
+    for r, o in zip(ref_recs, our_recs):
+        assert list(r.keys()) == list(o.keys())
+        assert len(r["si_sdr"][0]) == len(o["si_sdr"][0]) == 1  # n_src=1
+        assert r["nfe"] == o["nfe"] == 3 * 2
+        for met in ("si_sdr", "si_sir", "si_sar", "pesq", "stoi"):
+            np.testing.assert_allclose(
+                np.asarray(o[met], np.float64),
+                np.asarray(r[met], np.float64),
+                atol=0.1, rtol=1e-3, err_msg=met,
+            )
