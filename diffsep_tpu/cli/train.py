@@ -82,6 +82,29 @@ def main(argv=None):
     else:
         dm = WSJ0_mix_Module(cfg, pad_to_multiple=pad_mult)
 
+    # warm start from another run's checkpoint (reference train.py:25-83
+    # load_pretrained, realized intent: merge the pretrained run's
+    # score_model architecture into this run's config so the weights fit,
+    # then start training from those weights with a fresh optimizer).
+    # The reference's own implementation cannot run: both branches mutate
+    # `config.model.seld_model` (train.py:53,68) — a leftover from another
+    # project that DiffSep's config never defines (pinned by execution in
+    # tests/test_load_pretrained.py) — and the calibration branch opens
+    # hparams_path (parents[1]) after checking hparams_path_alt
+    # (parents[0]) exists (train.py:47-50).
+    pretrained_params = pretrained_ema = None
+    lp = cfg.get("load_pretrained")
+    if lp:
+        from ..config.compose import ConfigNode
+        from .loading import load_model as _load_ckpt
+
+        log.info("load pretrained: %s", lp)
+        pre_model, pretrained_ema = _load_ckpt(Path(lp), use_ema=True)
+        _, pretrained_params = _load_ckpt(Path(lp), use_ema=False)
+        cfg.model.score_model = ConfigNode.wrap(
+            dict(pre_model.config.model["score_model"])
+        )
+
     model = DiffSepModel(cfg)
 
     state = None
@@ -98,6 +121,8 @@ def main(argv=None):
                 or cfg.get("resume_from_checkpoint")
                 or False
             ),
+            init_params=pretrained_params,
+            init_ema_params=pretrained_ema,
         )
 
     from ..train import loop as train_loop

@@ -193,6 +193,8 @@ def fit(
     log_every: int = 10,
     grad_log_every: int = 25,
     state=None,
+    init_params=None,
+    init_ema_params=None,
 ):
     """Train `model` on `datamodule`. Returns the final TrainState."""
     # only the first process writes logs/checkpoints/hparams on multi-host
@@ -247,6 +249,31 @@ def fit(
     if state is None:
         mix0, tgt0 = next(iter(train_loader))
         state = model.init_state(k_init, jnp.asarray(mix0), jnp.asarray(tgt0))
+        if init_params is not None:
+            # warm start (cfg.load_pretrained): pretrained weights replace
+            # the random init; optimizer/step/clip state stay fresh. The
+            # tree_map is the strict-load check — a pretrained tree that
+            # does not match the architecture fails loudly here (reference
+            # intent: load_state_dict(strict=True), train.py:57-60).
+            def _graft(a, b):
+                b = jnp.asarray(b, a.dtype)
+                if a.shape != b.shape:
+                    raise ValueError(
+                        f"pretrained shape {b.shape} != model {a.shape}"
+                    )
+                return b
+
+            state = state.replace(
+                params=jax.tree_util.tree_map(_graft, state.params,
+                                              init_params),
+                ema=state.ema._replace(
+                    params=jax.tree_util.tree_map(
+                        _graft, state.ema.params,
+                        init_ema_params
+                        if init_ema_params is not None else init_params,
+                    )
+                ),
+            )
         if resume:
             state = _restore_for_resume(resume, ckpt, workdir, state)
     # replicate over the mesh — across processes too on multi-host runs

@@ -454,3 +454,36 @@ def test_test_only_run_uses_fresh_weights(wsj0_tree, tmp_path_factory):
     )
     rows = list(data.values()) if isinstance(data, dict) else data
     assert rows and all(np.isfinite(r["si_sdr"]).all() for r in rows)
+
+
+def test_load_pretrained_warm_start_cli(trained_run_dir, wsj0_tree,
+                                        tmp_path_factory):
+    """cfg.load_pretrained through the train CLI (reference train.py:25-83,
+    realized intent — the reference's own implementation is broken in both
+    branches, pinned in test_load_pretrained.py): the pretrained run's
+    score_model architecture is merged into the new run's config (a
+    conflicting nf override loses to the pretrained architecture so the
+    weights fit), the weights warm-start training, and the new run trains
+    and checkpoints normally."""
+    import yaml
+
+    from diffsep_tpu.cli.train import main
+
+    exp_root = tmp_path_factory.mktemp("warm_exp")
+    main(
+        _tiny_overrides(wsj0_tree, exp_root)
+        + [
+            f"load_pretrained={trained_run_dir}",
+            # conflicts with the pretrained nf=8 on purpose: the merge must
+            # adopt the pretrained architecture or loading would fail
+            "model.score_model.backbone_args.nf=16",
+            "trainer.max_steps=1",
+        ]
+    )
+    runs = sorted((exp_root / "default").iterdir())
+    assert runs, "no run dir created"
+    with open(runs[-1] / "hparams.yaml") as f:
+        hp = yaml.safe_load(f)["config"]
+    assert hp["model"]["score_model"]["backbone_args"]["nf"] == 8
+    ckpts = runs[-1] / "checkpoints"
+    assert any(p.name.isdigit() for p in ckpts.iterdir())
