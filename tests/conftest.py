@@ -46,6 +46,8 @@ SLOW_MODULES = {
     "test_ncsnpp",                            # ~65 s
     "test_parity_harness",                    # ~33 s
     "test_blockwise_attention",               # ~31 s
+    "test_load_pretrained",                   # ~170 s (3 fit() runs)
+    "test_evaluate_cli_reference_parity",     # ~50 s (incl. enhance mode)
 }
 
 
