@@ -367,9 +367,9 @@ def evaluate_datamodule(model, state, dm, output_dir):
         rec["batch_idx"] = j
     with open(output_dir / "test.json", "w") as f:
         json.dump(results, f, indent=2)
-    summary = summarize(
-        [{k: v for k, v in r.items() if k != "batch_idx"} for r in results]
-    )
+    # full records, batch_idx included — same summary schema as the
+    # single-process path (evaluate_split) regardless of process count
+    summary = summarize(results)
     with open(output_dir / "test_summary.json", "w") as f:
         json.dump(summary, f, indent=2)
     return results, summary

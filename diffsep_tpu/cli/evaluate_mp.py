@@ -312,9 +312,12 @@ def main(argv=None):
 
     for split in args.splits:
         if no_proc:
+            # the split passes through like the reference
+            # (evaluate_mp.py:171,425): val/test resolve; a libri-* split
+            # raises WSJ0_mix's split validation loudly instead of
+            # silently scoring WSJ0 data under a LibriMix label
             dataset = WSJ0_mix(
-                path="data/wsj0_mix", n_spkr=2, cut="max",
-                split="test" if split == "test" else "val",
+                path="data/wsj0_mix", n_spkr=2, cut="max", split=split
             )
         else:
             node = cfg.datamodule.get(split) or cfg.datamodule.get("test")

@@ -147,6 +147,10 @@ def samples(argv=None):
 
     with open(args.results / f"{args.split}.json") as f:
         results = json.load(f)
+    if isinstance(results, dict):
+        # evaluate_mp writes the reference's dict-keyed record format
+        # (evaluate_mp.py:282); evaluate.py writes a list
+        results = sorted(results.values(), key=lambda r: r["batch_idx"])
     sisdr = np.array([np.mean(r["si_sdr"]) for r in results])
     order = np.argsort(sisdr)
 

@@ -61,7 +61,9 @@ def _config_from_hparams(hparams: dict) -> ConfigNode:
     return cfg
 
 
-def load_torch_checkpoint(path: Path) -> Tuple[DiffSepModel, dict]:
+def load_torch_checkpoint(
+    path: Path, use_ema: bool = True
+) -> Tuple[DiffSepModel, dict]:
     import torch
 
     ckpt = torch.load(str(path), map_location="cpu", weights_only=False)
@@ -76,15 +78,54 @@ def load_torch_checkpoint(path: Path) -> Tuple[DiffSepModel, dict]:
         convert_ema_backbone,
     )
 
-    if ema is not None and "shadow_params" in ema:
+    if use_ema and ema is not None and "shadow_params" in ema:
         log.info("using EMA shadow weights from checkpoint")
         backbone = convert_ema_backbone(state_dict, ema["shadow_params"])
     else:
+        # raw state_dict weights (reference load_state_dict semantics) —
+        # the warm-start path asks for these explicitly with use_ema=False
         backbone = convert_backbone_state_dict(
             state_dict, prefix="score_model.backbone."
         )
     params = {"backbone": backbone}
     return model, params
+
+
+def load_pretrained_weights(ckpt: str | Path):
+    """(model, raw_params, ema_params) for the warm-start path — ONE
+    checkpoint read/restore serving both weight trees (load_model twice
+    would re-init and re-restore the full state per call)."""
+    ckpt = Path(ckpt)
+    if ckpt.is_file():
+        model, raw = load_torch_checkpoint(ckpt, use_ema=False)
+        _, ema = load_torch_checkpoint(ckpt, use_ema=True)
+        return model, raw, ema
+
+    run_dir, step = _resolve_run_dir(ckpt, None)
+    with open(run_dir / "hparams.yaml") as f:
+        cfg = _config_from_hparams(yaml.safe_load(f))
+    model = DiffSepModel(cfg)
+
+    import jax.numpy as jnp
+
+    from ..train.checkpoints import CheckpointManager
+
+    mgr = CheckpointManager(run_dir / "checkpoints", best_symlink=False)
+    if step is None:
+        step = mgr.best_step() or mgr.latest_step()
+    fs = int(cfg.model.fs)
+    mix0 = jnp.zeros((1, 1, fs), jnp.float32)
+    tgt0 = jnp.zeros((1, int(cfg.model.n_speakers), fs), jnp.float32)
+    template = jax.device_get(
+        model.init_state(jax.random.PRNGKey(0), mix0, tgt0)
+    )
+    state = mgr.restore(template, step=step)
+    mgr.close()
+    return (
+        model,
+        jax.device_get(state.params),
+        jax.device_get(state.ema.params),
+    )
 
 
 def _resolve_run_dir(ckpt: Path, step: Optional[int]):
@@ -146,7 +187,7 @@ def load_model(
                 "avg_last_k needs a run directory with several orbax "
                 "checkpoints; a torch .ckpt is a single snapshot"
             )
-        return load_torch_checkpoint(ckpt)
+        return load_torch_checkpoint(ckpt, use_ema=use_ema)
 
     # run-dir or step-dir layout
     run_dir, step = _resolve_run_dir(ckpt, step)

@@ -97,9 +97,11 @@ def merge_split(results_path: Path, dnsmos_path: Path, overwrite: bool):
             if idx not in dnsmos:
                 raise ValueError(f"Sample {idx} not found in DNSMOS file")
             entry.update(dnsmos[idx])
-        as_dict = {
-            int(e.get("batch_idx", pos)): e for pos, e in enumerate(results)
-        }
+        # POSITIONAL keys: keying by batch_idx would silently collapse
+        # duplicate-indexed rows (same hazard the dnsmos lookup above
+        # guards against) and shrink the summary population; summarize_mp
+        # only consumes .values(), so the keys just need to be unique
+        as_dict = dict(enumerate(results))
     else:
         for idx, metrics in results.items():
             if int(idx) not in dnsmos:
@@ -108,8 +110,9 @@ def merge_split(results_path: Path, dnsmos_path: Path, overwrite: bool):
         as_dict = results
 
     # reference semantics (merge_dnsmos.py:146): the mp summary variant
-    # with ignore_inf=False — an inf metric poisons its mean — and
-    # batch_idx riding along
+    # with ignore_inf=False — i.e. the inf check is NOT ignored, so an
+    # inf metric mean is EXCLUDED from its own numerator and denominator
+    # (see summarize_mp's docstring; test-pinned) — batch_idx rides along
     summary = summarize_mp(as_dict, ignore_inf=False)
     split = results_path.stem
     base = results_path.parent

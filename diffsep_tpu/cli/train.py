@@ -96,11 +96,12 @@ def main(argv=None):
     lp = cfg.get("load_pretrained")
     if lp:
         from ..config.compose import ConfigNode
-        from .loading import load_model as _load_ckpt
+        from .loading import load_pretrained_weights
 
         log.info("load pretrained: %s", lp)
-        pre_model, pretrained_ema = _load_ckpt(Path(lp), use_ema=True)
-        _, pretrained_params = _load_ckpt(Path(lp), use_ema=False)
+        pre_model, pretrained_params, pretrained_ema = (
+            load_pretrained_weights(Path(lp))
+        )
         cfg.model.score_model = ConfigNode.wrap(
             dict(pre_model.config.model["score_model"])
         )

@@ -173,7 +173,16 @@ class _TorchBatchNorm(nn.Module):
             var = jnp.var(x, axis=axes)  # biased: used for normalization
             m = x.size // nf  # elements per feature
             if not self.is_initializing():
-                unbiased = var * (m / max(m - 1, 1))
+                if m <= 1:
+                    # torch raises here too ("Expected more than 1 value
+                    # per channel when training"); silently clamping m-1
+                    # would drive running_var toward 0 and explode later
+                    # eval (round-4 review finding)
+                    raise ValueError(
+                        "BatchNorm in train mode needs more than 1 value "
+                        f"per channel (got {m})"
+                    )
+                unbiased = var * (m / (m - 1))
                 ra_mean.value = (
                     (1 - self.momentum) * ra_mean.value + self.momentum * mean
                 )

@@ -72,11 +72,16 @@ def _install_metric_stubs():
     which permutation), not the metric internals — those have their own
     independently-anchored tests."""
     from diffsep_tpu.models import metrics as our_metrics
-    from diffsep_tpu.models.pesq_native import get_pesq
 
-    fbe = sys.modules.setdefault(
-        "fast_bss_eval", types.ModuleType("fast_bss_eval")
-    )
+    def _stub_module(name):
+        mod = sys.modules.setdefault(name, types.ModuleType(name))
+        # conftest's containment fixture pops marked stubs after each test
+        # so they cannot shadow the optional packages for the rest of the
+        # suite (product code probes `import pesq` etc. — pesq_native.py:517)
+        mod.__diffsep_test_stub__ = True
+        return mod
+
+    fbe = _stub_module("fast_bss_eval")
 
     def si_bss_eval_sources(ref, est, zero_mean=False,
                             compute_permutation=True, clamp_db=100):
@@ -93,13 +98,14 @@ def _install_metric_stubs():
 
     fbe.si_bss_eval_sources = si_bss_eval_sources
 
-    pesq_mod = sys.modules.setdefault("pesq", types.ModuleType("pesq"))
-    _pesq = get_pesq()
+    from diffsep_tpu.models.pesq_native import pesq as _native_pesq
+
+    pesq_mod = _stub_module("pesq")
     pesq_mod.pesq = lambda fs, ref, deg, mode: float(
-        _pesq(fs, np.asarray(ref), np.asarray(deg), mode)
+        _native_pesq(fs, np.asarray(ref), np.asarray(deg), mode)
     )
 
-    pystoi = sys.modules.setdefault("pystoi", types.ModuleType("pystoi"))
+    pystoi = _stub_module("pystoi")
     pystoi.stoi = lambda ref, deg, fs, extended=False: float(
         our_metrics.stoi(np.asarray(ref), np.asarray(deg), fs,
                          extended=extended)

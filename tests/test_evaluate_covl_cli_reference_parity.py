@@ -69,6 +69,7 @@ class _SyncPool:
 
 def _install_librosa_stub():
     lb = sys.modules.setdefault("librosa", types.ModuleType("librosa"))
+    lb.__diffsep_test_stub__ = True  # popped by conftest's containment
     if not hasattr(lb, "load"):
         def load(path, sr=None):
             from scipy.io import wavfile

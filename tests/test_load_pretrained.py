@@ -219,3 +219,46 @@ def test_fit_grafts_pretrained_params(tmp_path):
     with pytest.raises(ValueError, match="pretrained shape"):
         fit(model, dm, tmp_path / "run2", seed=7, max_epochs=0,
             init_params=bad)
+
+
+from tests.test_evaluate_cli_reference_parity import eval_env  # noqa: E402,F401
+
+
+def test_pretrained_weights_torch_ckpt_raw_vs_ema(eval_env, tmp_path):
+    """Reference-.ckpt warm start distinguishes raw state_dict weights
+    from the torch_ema shadow: with shadow = raw + 1 injected, the raw
+    tree keeps the state_dict values and the EMA tree carries the +1 on
+    every trainable leaf.  Regression for the round-4 review finding:
+    use_ema previously had no effect on the file-checkpoint branch of
+    load_model — both calls returned the EMA tree, so a .ckpt warm start
+    silently trained from EMA weights."""
+    import torch
+
+    ckpt = torch.load(str(eval_env.ckpt), map_location="cpu",
+                      weights_only=False)
+    ckpt["ema"]["shadow_params"] = [
+        p + 1.0 for p in ckpt["ema"]["shadow_params"]
+    ]
+    p2 = tmp_path / "checkpoint.pt"
+    torch.save(ckpt, p2)
+
+    from diffsep_tpu.cli.loading import load_model, load_pretrained_weights
+
+    model, raw, ema = load_pretrained_weights(p2)
+    raw_l = jax.tree_util.tree_leaves(raw)
+    ema_l = jax.tree_util.tree_leaves(ema)
+    diffs = [
+        float(np.abs(np.asarray(e) - np.asarray(r)).max())
+        for r, e in zip(raw_l, ema_l)
+    ]
+    # trainable leaves moved by exactly 1; non-trainable (Fourier W) by 0
+    assert max(diffs) == pytest.approx(1.0, abs=1e-6)
+    assert sum(d > 0.5 for d in diffs) >= len(diffs) - 2
+
+    # load_model honors use_ema on file checkpoints too
+    _, p_raw = load_model(p2, use_ema=False)
+    for a, b in zip(jax.tree_util.tree_leaves(p_raw), raw_l):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    _, p_ema = load_model(p2, use_ema=True)
+    for a, b in zip(jax.tree_util.tree_leaves(p_ema), ema_l):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
