@@ -263,6 +263,29 @@ class DiffSepModel:
             self.score_apply, self.sde, self.loss_cfg, base_key
         )
 
+    def make_distill_step(self, base_key: jax.Array, distill_cfg=None, **kw):
+        """Progressive-distillation step (train/distill.py) — beyond-
+        reference low-NFE capability. `kw` overrides DistillConfig fields;
+        defaults inherit this model's t_eps and source-order convention."""
+        from .train.distill import DistillConfig
+        from .train.distill import make_distill_step as _make
+
+        if distill_cfg is None:
+            distill_cfg = DistillConfig(
+                t_eps=self.t_eps,
+                source_order=self.loss_cfg.train_source_order,
+                **kw,
+            )
+        return _make(
+            self.score_apply,
+            self.sde,
+            self.tx,
+            self.clipper,
+            self.optim_cfg,
+            base_key,
+            distill_cfg,
+        )
+
     # --- inference (pl_model.py:148-164, 687-759) ---
     def separate(self, params, key, mix, **kwargs):
         kw = dict(

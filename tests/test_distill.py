@@ -1,0 +1,233 @@
+"""Progressive distillation (train/distill.py) — beyond-reference low-NFE
+capability (the reference's fast-sampling story ends at the PC sampler's N
+knob, pl_model.py:687-759).
+
+Key invariants under test:
+* the closed-form x0 inversion is the exact inverse of the DDIM transport
+  (both mixing SDEs, incl. PriorMixSDE's envelope cancellation);
+* with the EXACT score of a delta data distribution every piece —
+  data_prediction, the teacher transport, the inverted target, and the
+  whole distill loss — collapses onto the true x0 (the distillation
+  fixed point);
+* the student's serving grid is EXACTLY pc_sample's ddim grid: the
+  unrolled transport reproduces model-free pc_sample output bit-for-bit
+  in f32 tolerance, so a distilled student needs no new inference code;
+* a real (tiny) model's distillation step runs jitted and reduces its
+  own loss.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from diffsep_tpu.sampling.pc import pc_sample
+from diffsep_tpu.sde.mixsde import MixSDE, PriorMixSDE
+from diffsep_tpu.train.distill import (
+    DistillConfig,
+    data_prediction,
+    ddim_transition,
+    ddim_transport,
+    distill_loss,
+    invert_ddim_x0,
+    progressive_distill,
+    snr_channel_weights,
+)
+
+
+def _rng():
+    return np.random.default_rng(1234)
+
+
+def _sdes():
+    return [MixSDE(N=8), PriorMixSDE(N=8, avg_len=32)]
+
+
+def _exact_delta_score(sde, x0):
+    """score of q(x_t | x0) for a fixed x0: s = -Sigma^{-1}(x - M(t) x0)."""
+
+    def score_fn(x, t, cond):
+        mean, L = sde.marginal_prob(x0, t, cond)
+        return -sde.mult_std_inv(L, sde.mult_std_inv(L, x - mean))
+
+    return score_fn
+
+
+@pytest.mark.parametrize("sde", _sdes(), ids=["mix", "priormix"])
+def test_invert_ddim_x0_roundtrip(sde):
+    """transition(x_t, t, t', x0) then invert(x_t, t, t', .) == x0 for
+    arbitrary x0 — the affine transport is inverted exactly."""
+    rng = _rng()
+    b, n = 3, 256
+    x_t = jnp.asarray(rng.standard_normal((b, 2, n)), jnp.float32)
+    x0 = jnp.asarray(rng.standard_normal((b, 2, n)), jnp.float32)
+    for t_hi, t_lo in [(1.0, 0.5), (0.6, 0.03), (0.08, 0.03)]:
+        t = jnp.full((b,), t_hi, jnp.float32)
+        t_next = jnp.full((b,), t_lo, jnp.float32)
+        x_next = ddim_transition(sde, x_t, t, t_next, x0)
+        rec = invert_ddim_x0(sde, x_t, t, t_next, x_next)
+        np.testing.assert_allclose(np.asarray(rec), np.asarray(x0),
+                                   rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("sde", _sdes(), ids=["mix", "priormix"])
+def test_exact_score_recovers_x0(sde):
+    """With the exact delta-data score, data_prediction == x0 at every t,
+    and the teacher transport + inversion target == x0 (the distillation
+    fixed point) for any substep count."""
+    rng = _rng()
+    b, n = 2, 512
+    x0 = jnp.asarray(0.1 * rng.standard_normal((b, 2, n)), jnp.float32)
+    mix = x0.sum(axis=1, keepdims=True)
+    score_fn = _exact_delta_score(sde, x0)
+
+    key = jax.random.PRNGKey(0)
+    for t_hi, t_lo in [(1.0, 0.52), (0.52, 0.03)]:
+        t = jnp.full((b,), t_hi, jnp.float32)
+        t_next = jnp.full((b,), t_lo, jnp.float32)
+        mean, L = sde.marginal_prob(x0, t, mix)
+        z = jax.random.normal(key, x0.shape, x0.dtype)
+        x_t = mean + sde.mult_std(L, z)
+
+        pred = data_prediction(sde, score_fn, x_t, t, mix)
+        np.testing.assert_allclose(np.asarray(pred), np.asarray(x0),
+                                   rtol=5e-4, atol=5e-5)
+
+        for substeps in (1, 2, 4):
+            x_end, _ = ddim_transport(
+                sde, score_fn, x_t, t, t_next, mix, substeps
+            )
+            target = invert_ddim_x0(sde, x_t, t, t_next, x_end)
+            np.testing.assert_allclose(np.asarray(target), np.asarray(x0),
+                                       rtol=5e-4, atol=5e-4)
+
+
+def test_distill_loss_zero_at_fixed_point():
+    """Student == teacher == exact score -> x0_pred == x0_target pointwise
+    and the loss vanishes (incl. the is_last branch and the prior-at-T
+    mixing, both exercised by sampling many batch rows)."""
+    sde = MixSDE(N=8)
+    rng = _rng()
+    b, n = 16, 256
+    x0 = jnp.asarray(0.1 * rng.standard_normal((b, 2, n)), jnp.float32)
+    mix = x0.sum(axis=1, keepdims=True)
+    score_fn = _exact_delta_score(sde, x0)
+    cfg = DistillConfig(n_student=4, t_eps=0.03, teacher_substeps=2,
+                        source_order="none", weighting="none")
+    loss = distill_loss(
+        jax.random.PRNGKey(3), sde, score_fn, score_fn, mix, x0, cfg
+    )
+    assert float(loss) < 1e-6
+
+
+def test_snr_weights_floor_and_monotone():
+    sde = MixSDE(N=8)
+    t = jnp.linspace(0.03, 1.0, 16)
+    w1, w2 = snr_channel_weights(sde, t)
+    assert np.all(np.asarray(w1) >= 1.0) and np.all(np.asarray(w2) >= 1.0)
+    # SNR decays as noise grows: weights non-increasing in t
+    assert np.all(np.diff(np.asarray(w1)) <= 1e-6)
+    assert np.all(np.diff(np.asarray(w2)) <= 1e-6)
+
+
+def test_serving_grid_matches_pc_sample():
+    """The distillation grid IS pc_sample's ddim grid: unrolling
+    data_prediction + ddim_transition over linspace(T, eps, N) with
+    pc_sample's own prior draw reproduces pc_sample(ddim, none, N)
+    exactly — a distilled student serves through the stock sampler."""
+    sde = MixSDE(N=8)
+    rng = _rng()
+    b, n, N, eps = 2, 256, 4, 0.03
+    x0 = jnp.asarray(0.1 * rng.standard_normal((b, 2, n)), jnp.float32)
+    mix = x0.sum(axis=1, keepdims=True)
+    score_fn = _exact_delta_score(sde, x0)
+
+    key = jax.random.PRNGKey(7)
+    got, nfe = pc_sample(
+        key, sde, score_fn, mix, "ddim", "none", N=N, eps=eps
+    )
+    assert nfe == N
+
+    # replicate pc_sample's key discipline (pc.py:116-117), then unroll
+    _, prior_key = jax.random.split(key)
+    x = sde.copy(N=N).prior_sampling(prior_key, mix)
+    ts = jnp.linspace(sde.T, eps, N)
+    x0_hat = None
+    for i in range(N):
+        t = jnp.full((b,), ts[i], jnp.float32)
+        t_next = jnp.full((b,), ts[min(i + 1, N - 1)], jnp.float32)
+        x0_hat = data_prediction(sde, score_fn, x, t, mix)
+        x = ddim_transition(sde, x, t, t_next, x0_hat)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(x0_hat),
+                               rtol=1e-5, atol=1e-6)
+
+
+TINY = [
+    "model.score_model.backbone_args.nf=8",
+    "model.score_model.backbone_args.ch_mult=[1,2]",
+    "model.score_model.backbone_args.num_res_blocks=1",
+    "model.score_model.backbone_args.attn_resolutions=[16]",
+    "model.score_model.backbone_args.image_size=64",
+    "model.score_model.stft_args.n_fft=126",
+    "model.score_model.stft_args.hop_length=32",
+    "model.optimizer.lr=0.001",
+]
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    from diffsep_tpu.config import compose
+    from diffsep_tpu.model import DiffSepModel
+
+    cfg = compose(TINY)
+    model = DiffSepModel(cfg)
+    rng = _rng()
+    tgt = jnp.asarray(0.1 * rng.standard_normal((2, 2, 2048)), jnp.float32)
+    mix = tgt.sum(axis=1, keepdims=True)
+    params = model.init_params(jax.random.PRNGKey(0), mix, tgt)
+    return model, params, mix, tgt
+
+
+def test_distill_step_runs_and_reduces_loss(tiny_model):
+    """The jitted distillation step trains a real (tiny) NCSN++ student
+    against a fixed teacher: loss drops on a fixed batch and the EMA/step
+    bookkeeping advances like the score-training step's."""
+    from diffsep_tpu.train.distill import init_student_state
+
+    model, params, mix, tgt = tiny_model
+    step_fn = jax.jit(
+        model.make_distill_step(jax.random.PRNGKey(5), n_student=4),
+        donate_argnums=(0,),
+    )
+    state = init_student_state(params, model.tx, model.clipper)
+    losses = []
+    for _ in range(25):
+        state, metrics = step_fn(state, params, mix, tgt)
+        losses.append(float(jax.device_get(metrics["distill/loss"])))
+    assert int(jax.device_get(state.step)) == 25
+    # noisy single-batch objective: compare first-5 vs last-5 means
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+
+def test_progressive_distill_halving(tiny_model):
+    """The halving driver returns EMA params per stage, each loadable into
+    the stock ddim sampler at that stage's N."""
+    model, params, mix, tgt = tiny_model
+    out = progressive_distill(
+        model,
+        params,
+        lambda step: (mix, tgt),
+        stages=(2, 1),
+        steps_per_stage=2,
+        base_key=jax.random.PRNGKey(11),
+    )
+    assert set(out) == {2, 1}
+    ref_tree = jax.tree_util.tree_structure(params)
+    for n, p in out.items():
+        assert jax.tree_util.tree_structure(p) == ref_tree
+        est, nfe = model.separate(
+            p, jax.random.PRNGKey(0), mix,
+            predictor_name="ddim", corrector_name="none", N=n,
+        )
+        assert est.shape == tgt.shape and nfe == n
+        assert np.all(np.isfinite(np.asarray(est)))

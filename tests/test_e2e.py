@@ -487,3 +487,41 @@ def test_load_pretrained_warm_start_cli(trained_run_dir, wsj0_tree,
     assert hp["model"]["score_model"]["backbone_args"]["nf"] == 8
     ckpts = runs[-1] / "checkpoints"
     assert any(p.name.isdigit() for p in ckpts.iterdir())
+
+
+def test_distill_cli(trained_run_dir, tmp_path):
+    """diffsep-distill end-to-end: distill the trained run into a 2-step
+    DDIM student; the stage dir is a self-contained run dir whose config
+    pins the serving sampler, so the standard loader + separate() run the
+    student with no flags (train/distill.py math pinned in
+    test_distill.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from diffsep_tpu.cli.distill import main
+    from diffsep_tpu.cli.loading import load_model
+
+    out = tmp_path / "distilled"
+    rc = main(
+        [
+            str(trained_run_dir),
+            "--stages", "2",
+            "--steps", "2",
+            "--out", str(out),
+            "--log-every", "0",
+        ]
+    )
+    assert rc == 0
+    stage = out / "N2"
+    assert (stage / "hparams.yaml").exists()
+
+    model, params = load_model(stage)
+    assert model.sampler_kwargs == {
+        "predictor_name": "ddim", "corrector_name": "none", "N": 2,
+    }
+    rng = np.random.default_rng(5)
+    mix = jnp.asarray(0.1 * rng.standard_normal((1, 1, 4000)), jnp.float32)
+    est, nfe = model.separate(params, jax.random.PRNGKey(0), mix)
+    assert nfe == 2  # ddim/none at N=2: one NN eval per step
+    assert est.shape == (1, 2, 4000)
+    assert np.all(np.isfinite(np.asarray(est)))
