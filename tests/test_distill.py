@@ -188,6 +188,7 @@ def tiny_model():
     return model, params, mix, tgt
 
 
+@pytest.mark.slow
 def test_distill_step_runs_and_reduces_loss(tiny_model):
     """The jitted distillation step trains a real (tiny) NCSN++ student
     against a fixed teacher: loss drops on a fixed batch and the EMA/step
@@ -209,6 +210,7 @@ def test_distill_step_runs_and_reduces_loss(tiny_model):
     assert np.mean(losses[-5:]) < np.mean(losses[:5])
 
 
+@pytest.mark.slow
 def test_progressive_distill_halving(tiny_model):
     """The halving driver returns EMA params per stage, each loadable into
     the stock ddim sampler at that stage's N."""
