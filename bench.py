@@ -236,6 +236,29 @@ def _load_quality_sweep():
     return None
 
 
+def _load_distill_sweep():
+    """Progressive-distillation quality record (scripts/distill_demo.py):
+    teacher-vs-student SI-SDR per serving N on the demo task. File read
+    only — the distillation itself is a training job, never run here."""
+    try:
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "scripts", "distill_demo_result.json")
+        with open(path) as f:
+            rec = json.load(f)
+        keep = {
+            k: v for k, v in rec.items()
+            if k.startswith("si_sdr_") and isinstance(v, (int, float))
+        }
+        if any(k.startswith("si_sdr_student_") for k in keep):
+            keep["distill_steps_per_stage"] = rec.get(
+                "distill_steps_per_stage"
+            )
+            return keep
+    except Exception as e:  # pragma: no cover - diagnostics only
+        log(f"distill sweep unavailable ({e})")
+    return None
+
+
 def main():
     # Live baseline re-measurement is opt-in; it must run BEFORE this
     # process claims the TPU, hence the subprocess-first dance.
@@ -285,6 +308,9 @@ def main():
     sweep = _load_quality_sweep()
     if sweep:
         result["quality_nfe_sweep_demo"] = sweep
+    distill = _load_distill_sweep()
+    if distill:
+        result["quality_distill_demo"] = distill
     # THE graded line — printed before any optional extras so a budget
     # kill during extras cannot lose the measurement.
     print(json.dumps(result), flush=True)

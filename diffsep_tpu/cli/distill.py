@@ -37,6 +37,10 @@ def main(argv=None):
     ap.add_argument("--steps", type=int, default=5000,
                     help="optimizer steps per stage")
     ap.add_argument("--teacher-substeps", type=int, default=2)
+    ap.add_argument("--schedule", default=None,
+                    choices=[None, "linear", "log", "revlog"],
+                    help="time grid (pc_sample semantics); students are "
+                         "distilled AND served on this grid")
     ap.add_argument("--lr", type=float, default=None,
                     help="override the run's learning rate for distillation")
     ap.add_argument("--seed", type=int, default=0)
@@ -100,6 +104,7 @@ def main(argv=None):
         dcfg = DistillConfig(
             n_student=int(n),
             t_eps=model.t_eps,
+            schedule=args.schedule,
             teacher_substeps=args.teacher_substeps,
             source_order=model.loss_cfg.train_source_order,
         )
@@ -128,6 +133,8 @@ def main(argv=None):
         stage_cfg["model"]["sampler"] = {
             "predictor_name": "ddim", "corrector_name": "none", "N": int(n),
         }
+        if args.schedule:
+            stage_cfg["model"]["sampler"]["schedule"] = args.schedule
         with open(stage_dir / "hparams.yaml", "w") as f:
             yaml.safe_dump({"config": stage_cfg}, f)
         ckpt_mgr = CheckpointManager(

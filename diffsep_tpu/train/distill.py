@@ -160,6 +160,11 @@ class DistillConfig:
 
     n_student: int = 8  # student step count (the serving N)
     t_eps: float = 0.03  # grid endpoint, = model t_eps
+    # time grid, matching pc_sample's `schedule` semantics exactly
+    # (None = linspace(T, eps, N); "linear"/"log"/"revlog" = N+1-point
+    # named grids, sampling/pc.py:make_timesteps) — distill and serve with
+    # the SAME value
+    schedule: Optional[str] = None
     teacher_substeps: int = 2  # teacher micro-steps per student step
     weighting: str = "truncated_snr"  # "truncated_snr" | "none"
     source_order: str = "power"  # match the teacher's training convention
@@ -181,8 +186,10 @@ def distill_loss(
 ) -> Array:
     """One-term x0-space regression loss, scalar. Inputs are already in the
     normalized domain (the step wrapper applies normalize_batch)."""
+    from ..sampling.pc import make_timesteps
+
     n = cfg.n_student
-    ts = jnp.linspace(sde.T, cfg.t_eps, n)
+    ts, _ = make_timesteps(sde.T, cfg.t_eps, n, cfg.schedule)
 
     if cfg.source_order == "power":
         target = power_order_sources(target)

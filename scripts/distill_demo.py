@@ -37,6 +37,8 @@ def main():
     ap.add_argument("teacher_steps", nargs="?", type=int, default=3000)
     ap.add_argument("--distill-steps", type=int, default=1500)
     ap.add_argument("--stages", default="8,4,2,1")
+    ap.add_argument("--schedule", default=None,
+                    choices=[None, "linear", "log", "revlog"])
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument(
         "--out", default=str(Path(__file__).parent / "distill_demo_result.json")
@@ -103,11 +105,13 @@ def main():
         "teacher_train_time_s": round(teacher_time, 1),
         "distill_steps_per_stage": args.distill_steps,
         "stages": list(stages),
+        "schedule": args.schedule,
         "si_sdr_teacher_pc_n30_db": eval_si_sdr(teacher, N=30),
     }
     for n_steps in sorted(set(stages)):
         result[f"si_sdr_teacher_ddim_n{n_steps}_db"] = eval_si_sdr(
-            teacher, predictor_name="ddim", corrector_name="none", N=n_steps
+            teacher, predictor_name="ddim", corrector_name="none",
+            N=n_steps, schedule=args.schedule,
         )
     print(json.dumps(result), flush=True)
 
@@ -127,12 +131,14 @@ def main():
         steps_per_stage=args.distill_steps,
         base_key=jax.random.PRNGKey(42),
         log_every=250,
+        schedule=args.schedule,
     )
     result["distill_time_s"] = round(time.perf_counter() - t0, 1)
 
     for n_steps, params in students.items():
         result[f"si_sdr_student_ddim_n{n_steps}_db"] = eval_si_sdr(
-            params, predictor_name="ddim", corrector_name="none", N=n_steps
+            params, predictor_name="ddim", corrector_name="none",
+            N=n_steps, schedule=args.schedule,
         )
         print(
             f"stage N={n_steps}: student "

@@ -130,11 +130,15 @@ def test_snr_weights_floor_and_monotone():
     assert np.all(np.diff(np.asarray(w2)) <= 1e-6)
 
 
-def test_serving_grid_matches_pc_sample():
-    """The distillation grid IS pc_sample's ddim grid: unrolling
-    data_prediction + ddim_transition over linspace(T, eps, N) with
-    pc_sample's own prior draw reproduces pc_sample(ddim, none, N)
-    exactly — a distilled student serves through the stock sampler."""
+@pytest.mark.parametrize("schedule", [None, "log"])
+def test_serving_grid_matches_pc_sample(schedule):
+    """The distillation grid IS pc_sample's ddim grid (for the default AND
+    the named schedules): unrolling data_prediction + ddim_transition over
+    make_timesteps' grid with pc_sample's own prior draw reproduces
+    pc_sample(ddim, none, N, schedule) exactly — a distilled student
+    serves through the stock sampler."""
+    from diffsep_tpu.sampling.pc import make_timesteps
+
     sde = MixSDE(N=8)
     rng = _rng()
     b, n, N, eps = 2, 256, 4, 0.03
@@ -144,14 +148,15 @@ def test_serving_grid_matches_pc_sample():
 
     key = jax.random.PRNGKey(7)
     got, nfe = pc_sample(
-        key, sde, score_fn, mix, "ddim", "none", N=N, eps=eps
+        key, sde, score_fn, mix, "ddim", "none", N=N, eps=eps,
+        schedule=schedule,
     )
     assert nfe == N
 
     # replicate pc_sample's key discipline (pc.py:116-117), then unroll
     _, prior_key = jax.random.split(key)
     x = sde.copy(N=N).prior_sampling(prior_key, mix)
-    ts = jnp.linspace(sde.T, eps, N)
+    ts, _ = make_timesteps(sde.T, eps, N, schedule)
     x0_hat = None
     for i in range(N):
         t = jnp.full((b,), ts[i], jnp.float32)
