@@ -238,3 +238,40 @@ def test_progressive_distill_halving(tiny_model):
         )
         assert est.shape == tgt.shape and nfe == n
         assert np.all(np.isfinite(np.asarray(est)))
+
+
+@pytest.mark.slow
+def test_distill_step_dp_matches_replicated(tiny_model):
+    """Data-parallel distillation needs no new code: the jitted step on a
+    dp mesh (batch sharded, state/teacher replicated) computes the same
+    loss and the same updated params as the single-device run — XLA
+    inserts the gradient reduction from the sharding annotations, like
+    the score-training step (parallel/mesh.py)."""
+    from diffsep_tpu.parallel.mesh import (
+        make_mesh,
+        replicate_global,
+        shard_batch,
+    )
+    from diffsep_tpu.train.distill import init_student_state
+
+    model, params, mix, tgt = tiny_model
+    step_fn = jax.jit(model.make_distill_step(jax.random.PRNGKey(5),
+                                              n_student=4))
+    state = init_student_state(params, model.tx, model.clipper)
+    s_rep, m_rep = step_fn(state, params, mix, tgt)
+
+    mesh = make_mesh(2)
+    state_sh = replicate_global(init_student_state(params, model.tx,
+                                                   model.clipper), mesh)
+    teacher_sh = replicate_global(params, mesh)
+    s_dp, m_dp = step_fn(state_sh, teacher_sh, shard_batch(mix, mesh),
+                         shard_batch(tgt, mesh))
+
+    np.testing.assert_allclose(
+        float(m_dp["distill/loss"]), float(m_rep["distill/loss"]),
+        rtol=1e-5,
+    )
+    flat_rep = jax.tree_util.tree_leaves(jax.device_get(s_rep.params))
+    flat_dp = jax.tree_util.tree_leaves(jax.device_get(s_dp.params))
+    for a, b in zip(flat_rep, flat_dp):
+        np.testing.assert_allclose(b, a, rtol=5e-4, atol=1e-6)
