@@ -37,6 +37,10 @@ def main(argv=None):
     ap.add_argument("--steps", type=int, default=5000,
                     help="optimizer steps per stage")
     ap.add_argument("--teacher-substeps", type=int, default=2)
+    ap.add_argument("--on-policy-frac", type=float, default=0.0,
+                    help="fraction of distill inputs drawn from the "
+                         "student's own sampler trajectory (serving-time "
+                         "distribution; costs N-1 extra evals/step)")
     ap.add_argument("--schedule", default=None,
                     choices=[None, "linear", "log", "revlog"],
                     help="time grid (pc_sample semantics); students are "
@@ -107,6 +111,7 @@ def main(argv=None):
             schedule=args.schedule,
             teacher_substeps=args.teacher_substeps,
             source_order=model.loss_cfg.train_source_order,
+            on_policy_frac=args.on_policy_frac,
         )
         step_fn = jax.jit(
             make_distill_step(

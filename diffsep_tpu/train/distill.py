@@ -173,6 +173,13 @@ class DistillConfig:
     # covers the serving-time prior mismatch e^{-lam T} Pn x0 the same way
     # the reference's init_hack does for score training (pl_model.py:179+)
     prior_mix_at_T: float = 0.5
+    # probability of generating x_t ON-POLICY: run the STUDENT's own DDIM
+    # sampler (stop-gradient) from a prior draw down to ts[i] and distill
+    # from there — the serving-time input distribution, which at very low
+    # N drifts from the forward marginals as teacher/student errors
+    # compound (TRACT / consistency-model style). Costs N-1 extra student
+    # evals per step; 0.0 (default) compiles them away entirely.
+    on_policy_frac: float = 0.0
 
 
 def distill_loss(
@@ -210,12 +217,37 @@ def distill_loss(
     z = jax.random.normal(kz, target.shape, target.dtype)
     x_t = mean + sde.mult_std(L, z)
     if cfg.prior_mix_at_T > 0.0:
+        kp, kp2 = jax.random.split(kp)
         use_prior = (i == 0) & (
-            jax.random.uniform(kp, (b,)) < cfg.prior_mix_at_T
+            jax.random.uniform(kp2, (b,)) < cfg.prior_mix_at_T
         )
         prior_mean = jnp.broadcast_to(mix / target.shape[1], target.shape)
         x_prior = prior_mean + sde.mult_std(L, z)
         x_t = jnp.where(use_prior[:, None, None], x_prior, x_t)
+
+    if cfg.on_policy_frac > 0.0:
+        # serving-time input: the student's OWN trajectory state at ts[i]
+        # (stop-gradient — it supplies inputs, not gradients). One scan
+        # computes every grid state; each row gathers its own i.
+        ko, kb = jax.random.split(jax.random.fold_in(kp, 1))
+        sg_student = lambda x, tt, m: jax.lax.stop_gradient(
+            student_score_fn(x, tt, m)
+        )
+        x_start = sde.prior_sampling(ko, mix)
+
+        def roll(x, j):
+            tj = jnp.full((b,), ts[j], x.dtype)
+            tj1 = jnp.full((b,), ts[jnp.minimum(j + 1, n - 1)], x.dtype)
+            x0h = data_prediction(sde, sg_student, x, tj, mix)
+            return ddim_transition(sde, x, tj, tj1, x0h), x
+
+        _, traj = jax.lax.scan(roll, x_start, jnp.arange(n))  # pre-step states
+        x_onpol = jnp.take_along_axis(
+            traj, i[None, :, None, None], axis=0
+        )[0]
+        use_onpol = jax.random.uniform(kb, (b,)) < cfg.on_policy_frac
+        x_t = jnp.where(use_onpol[:, None, None],
+                        jax.lax.stop_gradient(x_onpol), x_t)
 
     # teacher: fine transport over the student's interval (identity when
     # is_last — then its final micro-step x0_hat is the target instead)

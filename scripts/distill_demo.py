@@ -39,6 +39,7 @@ def main():
     ap.add_argument("--stages", default="8,4,2,1")
     ap.add_argument("--schedule", default=None,
                     choices=[None, "linear", "log", "revlog"])
+    ap.add_argument("--on-policy-frac", type=float, default=0.0)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument(
         "--out", default=str(Path(__file__).parent / "distill_demo_result.json")
@@ -106,6 +107,7 @@ def main():
         "distill_steps_per_stage": args.distill_steps,
         "stages": list(stages),
         "schedule": args.schedule,
+        "on_policy_frac": args.on_policy_frac,
         "si_sdr_teacher_pc_n30_db": eval_si_sdr(teacher, N=30),
     }
     for n_steps in sorted(set(stages)):
@@ -132,6 +134,7 @@ def main():
         base_key=jax.random.PRNGKey(42),
         log_every=250,
         schedule=args.schedule,
+        on_policy_frac=args.on_policy_frac,
     )
     result["distill_time_s"] = round(time.perf_counter() - t0, 1)
 

@@ -102,10 +102,12 @@ def test_exact_score_recovers_x0(sde):
                                        rtol=5e-4, atol=5e-4)
 
 
-def test_distill_loss_zero_at_fixed_point():
+@pytest.mark.parametrize("on_policy", [0.0, 1.0])
+def test_distill_loss_zero_at_fixed_point(on_policy):
     """Student == teacher == exact score -> x0_pred == x0_target pointwise
-    and the loss vanishes (incl. the is_last branch and the prior-at-T
-    mixing, both exercised by sampling many batch rows)."""
+    and the loss vanishes (incl. the is_last branch, the prior-at-T
+    mixing, and the on-policy trajectory inputs — the exact score maps
+    ANY input back to x0, so the fixed point holds on-policy too)."""
     sde = MixSDE(N=8)
     rng = _rng()
     b, n = 16, 256
@@ -113,7 +115,8 @@ def test_distill_loss_zero_at_fixed_point():
     mix = x0.sum(axis=1, keepdims=True)
     score_fn = _exact_delta_score(sde, x0)
     cfg = DistillConfig(n_student=4, t_eps=0.03, teacher_substeps=2,
-                        source_order="none", weighting="none")
+                        source_order="none", weighting="none",
+                        on_policy_frac=on_policy)
     loss = distill_loss(
         jax.random.PRNGKey(3), sde, score_fn, score_fn, mix, x0, cfg
     )
@@ -213,6 +216,19 @@ def test_distill_step_runs_and_reduces_loss(tiny_model):
     assert int(jax.device_get(state.step)) == 25
     # noisy single-batch objective: compare first-5 vs last-5 means
     assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+    # the on-policy variant (student-trajectory inputs) runs the same
+    # jitted step shape and stays finite on a real network
+    step_op = jax.jit(
+        model.make_distill_step(
+            jax.random.PRNGKey(6), n_student=4, on_policy_frac=0.5
+        ),
+        donate_argnums=(0,),
+    )
+    state_op = init_student_state(params, model.tx, model.clipper)
+    for _ in range(2):
+        state_op, m_op = step_op(state_op, params, mix, tgt)
+        assert np.isfinite(float(jax.device_get(m_op["distill/loss"])))
 
 
 @pytest.mark.slow
