@@ -133,22 +133,26 @@ def bench_fused(model, params, mix, n_windows=3):
     return _measure_windows(run_one, mix.shape[0], n_windows, 1, "fused")
 
 
-def bench_ddim(model, params, mix, n_windows=4, iters_per_window=4):
-    """Beyond-parity fast path: exact-transition DDIM at N=6, no corrector
+def bench_ddim(model, params, mix, n_windows=4, iters_per_window=4, N=6,
+               schedule=None):
+    """Beyond-parity fast path: exact-transition DDIM, no corrector
     (sampling/predictors.py). Tracked in the graded artifact so regressions
     in either operating point get caught. Each run is only ~2 s, so the
-    windows are multi-iteration before taking the median."""
-    kw = dict(predictor_name="ddim", corrector_name="none", N=6)
+    windows are multi-iteration before taking the median. N=2 on the log
+    grid is the progressive-distillation serving point
+    (train/distill.py — see quality_distill_demo for its quality record)."""
+    kw = dict(predictor_name="ddim", corrector_name="none", N=N,
+              schedule=schedule)
     est, _ = model.separate(params, jax.random.PRNGKey(0), mix, **kw)
     sync(est)  # compile + first run
-    log(f"ddim: compiled (t={elapsed():.0f}s)")
+    log(f"ddim N={N}: compiled (t={elapsed():.0f}s)")
 
     def run_one(seed):
         est, _ = model.separate(params, jax.random.PRNGKey(seed), mix, **kw)
         sync(est)
 
     return _measure_windows(
-        run_one, mix.shape[0], n_windows, iters_per_window, "ddim"
+        run_one, mix.shape[0], n_windows, iters_per_window, f"ddim-N{N}"
     )
 
 
@@ -253,6 +257,21 @@ def _load_distill_sweep():
             keep["distill_steps_per_stage"] = rec.get(
                 "distill_steps_per_stage"
             )
+            try:
+                # the N=2 serving point lives on the log grid (README:
+                # the linear 2-point grid degenerates); attach its record
+                # when scripts/distill_demo.py --schedule log has run.
+                lpath = os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "scripts", "distill_demo_log_result.json")
+                with open(lpath) as f:
+                    lrec = json.load(f)
+                keep["log_grid"] = {
+                    k: v for k, v in lrec.items()
+                    if k.startswith("si_sdr_") and isinstance(v, (int, float))
+                }
+            except Exception:
+                pass
             return keep
     except Exception as e:  # pragma: no cover - diagnostics only
         log(f"distill sweep unavailable ({e})")
@@ -325,6 +344,17 @@ def main():
         print(json.dumps(result), flush=True)  # superset re-print
     except Exception as e:  # extras must never take down the graded result
         log(f"ddim extras failed ({e})")
+    if elapsed() > BUDGET_S:
+        log(f"skipping N=2 extra (t={elapsed():.0f}s)")
+        return
+    try:
+        # the distilled serving point: DDIM N=2 on the log grid
+        ddim2 = bench_ddim(model, params, mix_ddim, N=2, schedule="log")
+        log(f"ddim N=2 (log): {ddim2:.3f} utt/s")
+        result["ddim_N2_log_value"] = round(ddim2, 4)
+        print(json.dumps(result), flush=True)  # superset re-print
+    except Exception as e:
+        log(f"ddim N=2 extra failed ({e})")
 
 
 if __name__ == "__main__":
