@@ -42,6 +42,11 @@ def main():
     ap.add_argument("--on-policy-frac", type=float, default=0.0)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument(
+        "--teacher-ckpt", default=None,
+        help="msgpack path: load the teacher from it if it exists, else "
+        "train and save — lets grid/on-policy variants share one teacher",
+    )
+    ap.add_argument(
         "--out", default=str(Path(__file__).parent / "distill_demo_result.json")
     )
     args = ap.parse_args()
@@ -76,20 +81,39 @@ def main():
         return np.asarray(jax.device_get(x))
 
     # --- teacher: identical recipe to train_demo.py ---
-    state = model.init_state(jax.random.PRNGKey(0), mix_j, tgt_j)
-    sync(state.step)
-    step_fn = jax.jit(
-        model.make_train_step(jax.random.PRNGKey(1)), donate_argnums=(0,)
-    )
-    t0 = time.perf_counter()
-    for i in range(args.teacher_steps):
-        mix_np, tgt_np = make_batch(rng, b, n, fs)
-        state, metrics = step_fn(state, jnp.asarray(mix_np), jnp.asarray(tgt_np))
-        if (i + 1) % 500 == 0:
-            l = float(sync(metrics["train/score_loss"]))
-            print(f"teacher step {i + 1}: loss {l:.4f}", flush=True)
-    teacher_time = time.perf_counter() - t0
-    teacher = state.ema.params
+    from flax import serialization
+
+    ckpt = Path(args.teacher_ckpt) if args.teacher_ckpt else None
+    if ckpt is not None and ckpt.exists():
+        template = model.init_state(jax.random.PRNGKey(0), mix_j, tgt_j)
+        teacher = serialization.from_bytes(
+            jax.device_get(template.ema.params), ckpt.read_bytes()
+        )
+        teacher = jax.device_put(teacher)
+        teacher_time = 0.0
+        print(f"teacher loaded from {ckpt}", flush=True)
+    else:
+        state = model.init_state(jax.random.PRNGKey(0), mix_j, tgt_j)
+        sync(state.step)
+        step_fn = jax.jit(
+            model.make_train_step(jax.random.PRNGKey(1)), donate_argnums=(0,)
+        )
+        t0 = time.perf_counter()
+        for i in range(args.teacher_steps):
+            mix_np, tgt_np = make_batch(rng, b, n, fs)
+            state, metrics = step_fn(
+                state, jnp.asarray(mix_np), jnp.asarray(tgt_np)
+            )
+            if (i + 1) % 500 == 0:
+                l = float(sync(metrics["train/score_loss"]))
+                print(f"teacher step {i + 1}: loss {l:.4f}", flush=True)
+        teacher_time = time.perf_counter() - t0
+        teacher = state.ema.params
+        if ckpt is not None:
+            ckpt.write_bytes(
+                serialization.to_bytes(jax.device_get(teacher))
+            )
+            print(f"teacher saved to {ckpt}", flush=True)
 
     mix_te, tgt_te = make_batch(np.random.default_rng(123), 8, n, fs)
     mix_te_j, tgt_te_j = jnp.asarray(mix_te), jnp.asarray(tgt_te)
