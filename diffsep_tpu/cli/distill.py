@@ -54,8 +54,6 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     import jax
-    import jax.numpy as jnp
-    import numpy as np
     import yaml
 
     from ..config.compose import to_dict
@@ -93,12 +91,13 @@ def main(argv=None):
     def batches():
         """Cycle the train loader forever; pad to TPU-friendly batch
         multiples (filler rows repeat real samples — benign for the
-        distillation regression, unlike a loss that must not re-weight)."""
+        distillation regression, unlike a loss that must not re-weight).
+        Loader output stays HOST numpy all the way into the jitted step
+        (pad_batch_for_tpu is a host op; a jnp.asarray here would add a
+        device->host->device round trip per step, train/loop.py:361)."""
         while True:
             for mix, tgt in loader:
-                mix, tgt, _ = pad_batch_for_tpu(
-                    jnp.asarray(mix), jnp.asarray(tgt), bmult
-                )
+                mix, tgt, _ = pad_batch_for_tpu(mix, tgt, bmult)
                 yield mix, tgt
 
     batch_iter = batches()

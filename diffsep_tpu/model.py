@@ -267,15 +267,22 @@ class DiffSepModel:
         """Progressive-distillation step (train/distill.py) — beyond-
         reference low-NFE capability. `kw` overrides DistillConfig fields;
         defaults inherit this model's t_eps and source-order convention."""
+        import dataclasses
+
         from .train.distill import DistillConfig
         from .train.distill import make_distill_step as _make
 
         if distill_cfg is None:
-            distill_cfg = DistillConfig(
+            fields = dict(
                 t_eps=self.t_eps,
                 source_order=self.loss_cfg.train_source_order,
-                **kw,
             )
+            fields.update(kw)  # kw may override the model-derived defaults
+            distill_cfg = DistillConfig(**fields)
+        elif kw:
+            # silently dropping kw would train at the cfg's values while
+            # the caller believes its overrides took effect
+            distill_cfg = dataclasses.replace(distill_cfg, **kw)
         return _make(
             self.score_apply,
             self.sde,

@@ -107,6 +107,27 @@ class HeunPredictor(Predictor):
         return x_next, x_next
 
 
+def data_prediction(sde, score_fn, x, t, cond):
+    """x0_hat = M(t)^{-1} (x + Sigma(t) score) — the DDIM data prediction.
+
+    Module-level so train/distill.py regresses onto the SAME algebra the
+    serving predictor runs (distilled-student/serving equivalence must not
+    depend on two copies staying in sync)."""
+    score = score_fn(x, t, cond)
+    L = sde.marginal_prob(x, t, cond)[1]
+    sigma_score = sde.mult_std(L, sde.mult_std(L, score))  # Sigma s
+    return sde.apply_mean_inv(t, x + sigma_score)
+
+
+def ddim_transition(sde, x, t, t_next, x0_hat):
+    """Exact marginal-to-marginal transport given a data prediction:
+    x_{t'} = M(t') x0_hat + L(t') L(t)^{-1} (x - M(t) x0_hat)."""
+    resid = x - sde.apply_mean(t, x0_hat)
+    return sde.apply_mean(t_next, x0_hat) + sde.apply_std_ratio(
+        t_next, t, resid
+    )
+
+
 @PredictorRegistry.register("ddim")
 class DDIMPredictor(Predictor):
     """Exact Gaussian-transition (DDIM-style) deterministic step —
@@ -127,15 +148,8 @@ class DDIMPredictor(Predictor):
     def update(self, key, x, t, cond, dt=None, t_next=None):
         if t_next is None:
             raise ValueError("ddim predictor needs grid times (t_next)")
-        sde = self.sde
-        score = self.score_fn(x, t, cond)
-        L = sde.marginal_prob(x, t, cond)[1]
-        sigma_score = sde.mult_std(L, sde.mult_std(L, score))  # Sigma s
-        x0_hat = sde.apply_mean_inv(t, x + sigma_score)
-        resid = x - sde.apply_mean(t, x0_hat)
-        x_next = sde.apply_mean(t_next, x0_hat) + sde.apply_std_ratio(
-            t_next, t, resid
-        )
+        x0_hat = data_prediction(self.sde, self.score_fn, x, t, cond)
+        x_next = ddim_transition(self.sde, x, t, t_next, x0_hat)
         return x_next, x0_hat
 
 

@@ -63,24 +63,11 @@ Array = jax.Array
 
 
 # --------------------------------------------------------------------------
-# functional DDIM algebra (shared with sampling/predictors.py:DDIMPredictor)
+# functional DDIM algebra — the ACTUAL serving predictor's functions
+# (sampling/predictors.py), imported rather than re-derived so the student
+# regresses onto exactly what DDIMPredictor.update will run at serving time
 # --------------------------------------------------------------------------
-def data_prediction(sde: SDE, score_fn: Callable, x: Array, t: Array,
-                    cond: Array) -> Array:
-    """x0_hat = M(t)^{-1} (x + Sigma(t) score(x, t))."""
-    score = score_fn(x, t, cond)
-    L = sde.marginal_prob(x, t, cond)[1]
-    sigma_score = sde.mult_std(L, sde.mult_std(L, score))
-    return sde.apply_mean_inv(t, x + sigma_score)
-
-
-def ddim_transition(sde: SDE, x: Array, t: Array, t_next: Array,
-                    x0_hat: Array) -> Array:
-    """Exact marginal-to-marginal transport given a data prediction."""
-    resid = x - sde.apply_mean(t, x0_hat)
-    return sde.apply_mean(t_next, x0_hat) + sde.apply_std_ratio(
-        t_next, t, resid
-    )
+from ..sampling.predictors import data_prediction, ddim_transition  # noqa: E402,F401 (re-exported)
 
 
 def ddim_transport(sde: SDE, score_fn: Callable, x: Array, t: Array,
@@ -128,14 +115,26 @@ def invert_ddim_x0(sde: SDE, x_t: Array, t: Array, t_next: Array,
     return inv @ resid
 
 
-def snr_channel_weights(sde: SDE, t: Array):
+def snr_channel_weights(sde: SDE, t: Array, cond: Optional[Array] = None):
     """Truncated per-eigenchannel SNR weights max(alpha_k^2 / sigma_k^2, 1)
     (Salimans & Ho 2022, eq. 10's "truncated SNR" loss, per {A, Pn}
-    channel: alpha_A = 1, alpha_Pn = e^{-lam t})."""
+    channel: alpha_A = 1, alpha_Pn = e^{-lam t}).
+
+    PriorMixSDE's marginal std carries the per-sample (and per-position)
+    mixture-power envelope (mixsde.py:_std) — the envelope does NOT cancel
+    here (the weight is a plain SNR, not a transport ratio), so when `cond`
+    is given and the SDE defines the envelope, sigma_k^2 is env^2 * ev_k.
+    Returns (b, 1, 1)- or (b, 1, samples)-shaped weights, broadcastable
+    against the (b, n, samples) residual."""
     ev1, ev2 = sde._cov_eigval(t)
-    w1 = jnp.maximum(1.0 / ev1, 1.0)
-    w2 = jnp.maximum(jnp.exp(-2.0 * sde.d_lambda * t) / ev2, 1.0)
-    return w1, w2
+    snr1 = (1.0 / ev1)[:, None, None]
+    snr2 = (jnp.exp(-2.0 * sde.d_lambda * t) / ev2)[:, None, None]
+    if cond is not None and hasattr(sde, "_std_sigma_mix"):
+        env = sde._std_sigma_mix(cond)  # (b, 1, samples)
+        env2 = (env * env).astype(snr1.dtype)
+        snr1 = snr1 / env2
+        snr2 = snr2 / env2
+    return jnp.maximum(snr1, 1.0), jnp.maximum(snr2, 1.0)
 
 
 def init_student_state(teacher_params, tx, clipper) -> TrainState:
@@ -263,9 +262,9 @@ def distill_loss(
     r = x0_pred - x0_target
     if cfg.weighting == "truncated_snr":
         A, Pn = mix_mats(r.shape[1], r.dtype)
-        w1, w2 = snr_channel_weights(sde, t)
-        per = w1 * ((A @ r) ** 2).mean(axis=(-2, -1)) + w2 * (
-            (Pn @ r) ** 2
+        w1, w2 = snr_channel_weights(sde, t, mix)
+        per = (w1 * (A @ r) ** 2).mean(axis=(-2, -1)) + (
+            w2 * (Pn @ r) ** 2
         ).mean(axis=(-2, -1))
     elif cfg.weighting == "none":
         per = (r**2).mean(axis=(-2, -1))
@@ -297,6 +296,8 @@ def make_distill_step(
             key, sde, student, teacher, mix, target, distill_cfg
         )
 
+    every_k = optim_cfg.accumulate_grad_batches
+
     def distill_step(state: TrainState, teacher_params, mix, target):
         key = jax.random.fold_in(base_key, state.step)
         loss, grads = jax.value_and_grad(loss_fn)(
@@ -309,7 +310,18 @@ def make_distill_step(
             gnorm = grad_norm(grads)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        ema_state = ema_lib.update(state.ema, params, optim_cfg.ema_decay)
+        # EMA only on applied optimizer steps — under optax.MultiSteps
+        # accumulation an unconditional update would decay the shadow
+        # toward unchanged params every mini-step, halving the averaging
+        # horizon (same gating as trainer.make_train_step)
+        if every_k > 1:
+            applied = opt_state.mini_step == 0
+        else:
+            applied = jnp.asarray(True)
+        new_ema = ema_lib.update(state.ema, params, optim_cfg.ema_decay)
+        ema_state = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(applied, new, old), new_ema, state.ema
+        )
         metrics = {"distill/loss": loss, "grad/norm": gnorm}
         return (
             state.replace(

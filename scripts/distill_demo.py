@@ -85,13 +85,23 @@ def main():
 
     ckpt = Path(args.teacher_ckpt) if args.teacher_ckpt else None
     if ckpt is not None and ckpt.exists():
+        # the msgpack alone carries no provenance — refuse a cache whose
+        # recorded recipe doesn't match, so the result JSON can't mislabel
+        # a stale teacher (e.g. a 10k cache re-used under teacher_steps=3000)
+        meta = json.loads(ckpt.with_suffix(".json").read_text())
+        if meta["teacher_steps"] != args.teacher_steps:
+            raise SystemExit(
+                f"{ckpt} holds a {meta['teacher_steps']}-step teacher but "
+                f"--teacher-steps is {args.teacher_steps}; delete the cache "
+                "or match the step count"
+            )
         template = model.init_state(jax.random.PRNGKey(0), mix_j, tgt_j)
         teacher = serialization.from_bytes(
             jax.device_get(template.ema.params), ckpt.read_bytes()
         )
         teacher = jax.device_put(teacher)
-        teacher_time = 0.0
-        print(f"teacher loaded from {ckpt}", flush=True)
+        teacher_time = float(meta.get("teacher_train_time_s", 0.0))
+        print(f"teacher loaded from {ckpt} ({meta})", flush=True)
     else:
         state = model.init_state(jax.random.PRNGKey(0), mix_j, tgt_j)
         sync(state.step)
@@ -113,6 +123,10 @@ def main():
             ckpt.write_bytes(
                 serialization.to_bytes(jax.device_get(teacher))
             )
+            ckpt.with_suffix(".json").write_text(json.dumps({
+                "teacher_steps": args.teacher_steps,
+                "teacher_train_time_s": round(teacher_time, 1),
+            }))
             print(f"teacher saved to {ckpt}", flush=True)
 
     mix_te, tgt_te = make_batch(np.random.default_rng(123), 8, n, fs)

@@ -128,9 +128,90 @@ def test_snr_weights_floor_and_monotone():
     t = jnp.linspace(0.03, 1.0, 16)
     w1, w2 = snr_channel_weights(sde, t)
     assert np.all(np.asarray(w1) >= 1.0) and np.all(np.asarray(w2) >= 1.0)
-    # SNR decays as noise grows: weights non-increasing in t
-    assert np.all(np.diff(np.asarray(w1)) <= 1e-6)
-    assert np.all(np.diff(np.asarray(w2)) <= 1e-6)
+    # SNR decays as noise grows: weights non-increasing in t (weights are
+    # (b, 1, 1)-shaped; the batch axis is the time sweep here)
+    assert np.all(np.diff(np.asarray(w1), axis=0) <= 1e-6)
+    assert np.all(np.diff(np.asarray(w2), axis=0) <= 1e-6)
+
+
+def test_snr_weights_priormix_envelope():
+    """PriorMixSDE's marginal std is env * sqrt(ev_k) (mixsde.py:_std) and
+    the envelope does NOT cancel in a plain SNR: sigma^2 = env^2 ev_k, so
+    above the truncation floor the weights must scale as 1/env^2 — a
+    4x-hotter mixture (env 2x) quarters both weights."""
+    sde = PriorMixSDE(N=8, avg_len=8)
+    b, s = 3, 64
+    mix = jnp.asarray(_rng().standard_normal((b, 1, s)), jnp.float32) * 0.05
+    t = jnp.full((b,), 0.1, jnp.float32)
+    w1, w2 = snr_channel_weights(sde, t, mix)
+    w1_hot, w2_hot = snr_channel_weights(sde, t, 2.0 * mix)
+    env2 = np.asarray(sde._std_sigma_mix(mix)) ** 2
+    ev1, ev2 = sde._cov_eigval(t)
+    exact1 = np.maximum(1.0 / (env2 * np.asarray(ev1)[:, None, None]), 1.0)
+    np.testing.assert_allclose(np.asarray(w1), exact1, rtol=1e-5)
+    above = np.asarray(w1) > 4.0  # floor can't bite after a /4
+    np.testing.assert_allclose(
+        np.asarray(w1_hot)[above], (np.asarray(w1) / 4.0)[above], rtol=2e-4
+    )
+    above2 = np.asarray(w2) > 4.0
+    np.testing.assert_allclose(
+        np.asarray(w2_hot)[above2], (np.asarray(w2) / 4.0)[above2], rtol=2e-4
+    )
+    assert above.any() and above2.any()  # the comparison actually engaged
+    # MixSDE (no envelope): cond must be a no-op
+    m = MixSDE(N=8)
+    a1, a2 = snr_channel_weights(m, t)
+    b1, b2 = snr_channel_weights(m, t, mix)
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(b1))
+    np.testing.assert_array_equal(np.asarray(a2), np.asarray(b2))
+
+
+def test_distill_ema_gates_on_applied_steps():
+    """Under optax.MultiSteps accumulation the EMA must advance only on
+    APPLIED optimizer steps (same contract as trainer.make_train_step,
+    pl_model.py:611-614): an unconditional per-mini-step update would run
+    the (1+n)/(10+n) bias-correction ramp twice as fast and decay the
+    shadow toward unchanged params."""
+    import optax
+
+    from diffsep_tpu.train.distill import make_distill_step
+    from diffsep_tpu.train.trainer import OptimConfig, init_train_state
+
+    sde = MixSDE(N=8)
+    params = {"w": jnp.ones((2, 2), jnp.float32)}
+
+    def score_apply(p, x, t, mix):
+        # nonlinear AND unit-scale on purpose: an affine score is exactly
+        # DDIM-self-consistent (teacher micro-steps invert back onto the
+        # student's own x0_hat -> loss identically zero), and a weak score
+        # leaves the consistency error below f32 resolution around w=1
+        return jnp.tanh(jnp.einsum("cd,bdt->bct", p["w"], x))
+
+    tx = optax.MultiSteps(optax.sgd(1.0), every_k_schedule=2)
+    optim_cfg = OptimConfig(accumulate_grad_batches=2)
+    cfg = DistillConfig(n_student=2, t_eps=0.03, source_order="none",
+                        weighting="none")
+    step_fn = make_distill_step(
+        score_apply, sde, tx, None, optim_cfg, jax.random.PRNGKey(0), cfg
+    )
+    state = init_train_state(params, tx, None)
+    rng = _rng()
+    # batch big enough that some rows draw a NON-last grid step: last-step
+    # rows regress onto the teacher's own x0_hat, which is gradient-free
+    # while student == teacher
+    x0 = jnp.asarray(rng.standard_normal((8, 2, 32)), jnp.float32)
+    mix = x0.sum(axis=1, keepdims=True)
+
+    state, _ = step_fn(state, params, mix, x0)  # mini-step: NOT applied
+    assert int(state.ema.num_updates) == 0
+    np.testing.assert_array_equal(
+        np.asarray(state.ema.params["w"]), np.asarray(params["w"])
+    )
+    state, _ = step_fn(state, params, mix, x0)  # applied optimizer step
+    assert int(state.ema.num_updates) == 1
+    assert not np.array_equal(
+        np.asarray(state.ema.params["w"]), np.asarray(params["w"])
+    )
 
 
 @pytest.mark.parametrize("schedule", [None, "log"])
