@@ -140,7 +140,17 @@ def bench_ddim(model, params, mix, n_windows=4, iters_per_window=4, N=6,
     in either operating point get caught. Each run is only ~2 s, so the
     windows are multi-iteration before taking the median. N=2 on the log
     grid is the progressive-distillation serving point
-    (train/distill.py — see quality_distill_demo for its quality record)."""
+    (train/distill.py — see quality_distill_demo for its quality record).
+
+    Returns (sequential, pipelined): sequential syncs each batch before
+    dispatching the next (the r1-r4 series' definition, kept for
+    continuity); pipelined dispatches batch k+1 before device_get of
+    batch k, overlapping the ~38 MB/s axon-tunnel D2H transfer (~0.5 s
+    for a 20 MB batch — 37% of an N=2 step) with the next batch's
+    compute, which is how cli/serve.py actually runs. Measured
+    scripts/pipeline_throughput.py: N=2-log 53.7 -> 90.4 utt/s (1.68x),
+    N=6 26.6 -> 33.0 (1.24x); the device-only compute rate is 98.4 /
+    34.4, so depth-1 pipelining recovers ~92-96% of the transfer cost."""
     kw = dict(predictor_name="ddim", corrector_name="none", N=N,
               schedule=schedule)
     est, _ = model.separate(params, jax.random.PRNGKey(0), mix, **kw)
@@ -151,9 +161,31 @@ def bench_ddim(model, params, mix, n_windows=4, iters_per_window=4, N=6,
         est, _ = model.separate(params, jax.random.PRNGKey(seed), mix, **kw)
         sync(est)
 
-    return _measure_windows(
+    seq = _measure_windows(
         run_one, mix.shape[0], n_windows, iters_per_window, f"ddim-N{N}"
     )
+
+    def dispatch(seed):
+        est, _ = model.separate(params, jax.random.PRNGKey(seed), mix, **kw)
+        return est
+
+    vals, seed = [], 1001
+    for _ in range(n_windows):
+        pending = dispatch(seed)
+        seed += 1
+        t0 = time.perf_counter()
+        for _ in range(iters_per_window):
+            nxt = dispatch(seed)
+            seed += 1
+            sync(pending)
+            pending = nxt
+        vals.append(
+            mix.shape[0] * iters_per_window / (time.perf_counter() - t0)
+        )
+        sync(pending)
+    log(f"ddim-N{N} pipelined windows: "
+        + " ".join(f"{v:.3f}" for v in vals))
+    return seq, float(np.median(vals))
 
 
 def bench_reference_style(model, params, mix):
@@ -338,9 +370,10 @@ def main():
         log(f"skipping extras (t={elapsed():.0f}s > budget {BUDGET_S:.0f}s)")
         return
     try:
-        ddim = bench_ddim(model, params, mix_ddim)
-        log(f"ddim N=6: {ddim:.3f} utt/s")
+        ddim, ddim_p = bench_ddim(model, params, mix_ddim)
+        log(f"ddim N=6: {ddim:.3f} utt/s (pipelined {ddim_p:.3f})")
         result["ddim_N6_value"] = round(ddim, 4)
+        result["ddim_N6_pipelined"] = round(ddim_p, 4)
         print(json.dumps(result), flush=True)  # superset re-print
     except Exception as e:  # extras must never take down the graded result
         log(f"ddim extras failed ({e})")
@@ -349,9 +382,11 @@ def main():
         return
     try:
         # the distilled serving point: DDIM N=2 on the log grid
-        ddim2 = bench_ddim(model, params, mix_ddim, N=2, schedule="log")
-        log(f"ddim N=2 (log): {ddim2:.3f} utt/s")
+        ddim2, ddim2_p = bench_ddim(model, params, mix_ddim, N=2,
+                                    schedule="log")
+        log(f"ddim N=2 (log): {ddim2:.3f} utt/s (pipelined {ddim2_p:.3f})")
         result["ddim_N2_log_value"] = round(ddim2, 4)
+        result["ddim_N2_log_pipelined"] = round(ddim2_p, 4)
         print(json.dumps(result), flush=True)  # superset re-print
     except Exception as e:
         log(f"ddim N=2 extra failed ({e})")

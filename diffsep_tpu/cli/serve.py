@@ -57,11 +57,26 @@ from ..train.losses import normalize_rows_host as _normalize_rows
 class _EngineBase:
     """Shared serving front half: request validation, length-bucket
     grouping, micro-batching, output writing. Subclasses provide
-    `_run_bucket` (the compiled separation call) and set `fs`, `batch`,
-    `bucket`, and optionally `max_samples` (a static-shape contract —
-    longer requests get a per-file error instead of failing a batch)."""
+    `_dispatch_bucket` (enqueue the compiled separation call — JAX
+    dispatch is async, so this returns immediately with device-array
+    handles) and `_finalize_bucket` (device_get + per-request
+    postprocessing), and set `fs`, `batch`, `bucket`, and optionally
+    `max_samples` (a static-shape contract — longer requests get a
+    per-file error instead of failing a batch).
+
+    The split exists because the device->host transfer of a separated
+    micro-batch is NOT free: over the axon TPU tunnel a 20 MB batch
+    costs ~0.5 s (~38 MB/s), which is 37% of a DDIM-N=2 step. The batch
+    loops therefore run a depth-1 pipeline — dispatch micro-batch k+1
+    BEFORE finalizing k — so the transfer rides the DMA engines under
+    the next batch's compute (measured scripts/pipeline_throughput.py:
+    53.7 -> 90.4 utt/s at N=2-log, 26.6 -> 33.0 at N=6)."""
 
     max_samples: int | None = None
+
+    def _run_bucket(self, mixes):
+        """Unpipelined convenience (warmup, one-shot callers)."""
+        return self._finalize_bucket(self._dispatch_bucket(mixes))
 
     def validate(self, wav: np.ndarray, sr: int) -> str | None:
         """Reject a request before it can poison a micro-batch. Returns an
@@ -106,26 +121,50 @@ class _EngineBase:
             b = -(-wav.shape[-1] // self.bucket)
             groups.setdefault(b, []).append((p, wav))
 
+        chunks = []
         for _, group in sorted(groups.items()):
             for off in range(0, len(group), self.batch):
-                chunk = group[off : off + self.batch]
-                t0 = time.perf_counter()
-                try:
-                    ests = self._run_bucket([w for _, w in chunk])
+                chunks.append(group[off : off + self.batch])
+
+        def finalize(chunk, handle, t0):
+            """Per-chunk error isolation: a failed finalize (device fault)
+            or write fails only its own chunk/file."""
+            try:
+                ests = self._finalize_bucket(handle)
+            except Exception as e:
+                for p, _ in chunk:
+                    yield p, False, f"{type(e).__name__}: {e}"
+                return
+            dt = time.perf_counter() - t0
+            for (p, _), est in zip(chunk, ests):
+                try:  # output I/O errors must not kill serving either
+                    for src in range(est.shape[0]):
+                        out = output_dir / f"s{src}" / f"{p.stem}.wav"
+                        save_wav(out, est[src : src + 1], self.fs)
                 except Exception as e:
-                    for p, _ in chunk:
-                        yield p, False, f"{type(e).__name__}: {e}"
+                    yield p, False, f"write failed: {type(e).__name__}: {e}"
                     continue
-                dt = time.perf_counter() - t0
-                for (p, _), est in zip(chunk, ests):
-                    try:  # output I/O errors must not kill serving either
-                        for src in range(est.shape[0]):
-                            out = output_dir / f"s{src}" / f"{p.stem}.wav"
-                            save_wav(out, est[src : src + 1], self.fs)
-                    except Exception as e:
-                        yield p, False, f"write failed: {type(e).__name__}: {e}"
-                        continue
-                    yield p, True, f"{dt / len(chunk):.3f}s"
+                yield p, True, f"{dt / len(chunk):.3f}s"
+
+        # depth-1 pipeline: dispatch chunk k+1 before finalizing chunk k,
+        # overlapping k's D2H transfer with k+1's compute (class docstring)
+        pending = None  # (chunk, handle, t0)
+        for chunk in chunks:
+            t0 = time.perf_counter()
+            try:
+                handle = self._dispatch_bucket([w for _, w in chunk])
+            except Exception as e:
+                if pending is not None:
+                    yield from finalize(*pending)
+                    pending = None
+                for p, _ in chunk:
+                    yield p, False, f"{type(e).__name__}: {e}"
+                continue
+            if pending is not None:
+                yield from finalize(*pending)
+            pending = (chunk, handle, t0)
+        if pending is not None:
+            yield from finalize(*pending)
 
 
 class SeparationEngine(_EngineBase):
@@ -153,12 +192,13 @@ class SeparationEngine(_EngineBase):
             self._run_bucket(mixes)
             log.info("warmup: compiled %.1f s bucket", s)
 
-    def _run_bucket(self, mixes):
-        """Separate a list of single-channel (1, n) signals sharing one
-        length bucket. Returns a list of (n_src, n) arrays."""
+    def _dispatch_bucket(self, mixes):
+        """Enqueue separation of a list of single-channel (1, n) signals
+        sharing one length bucket; returns a handle for _finalize_bucket.
+        JAX dispatch is async — the device-array `est` comes back without
+        waiting for execution."""
         lens = [m.shape[-1] for m in mixes]
         padded = -(-max(lens) // self.bucket) * self.bucket
-        real = len(mixes)
         rows, means, stds = _normalize_rows(mixes, padded)
         while len(rows) < self.batch:
             rows.append(np.zeros_like(rows[0]))
@@ -177,11 +217,16 @@ class SeparationEngine(_EngineBase):
             **self.sampler_kwargs,
         )
         est, _ = sampler()
+        return est, mean, std, mixes, lens
+
+    def _finalize_bucket(self, handle):
+        """device_get + per-request postprocessing -> list of (n_src, n)."""
+        est, mean, std, mixes, lens = handle
         # denormalize on host (eager device elementwise ops are slow over
         # the remote link; the transfer is needed anyway)
         est = np.asarray(jax.device_get(est)) * std + mean
         out = []
-        for j in range(real):
+        for j in range(len(mixes)):
             e = est[j : j + 1, :, : lens[j]]
             e = scale_output(np.asarray(mixes[j])[None], e)
             out.append(e[0])
@@ -212,10 +257,9 @@ class ArtifactEngine(_EngineBase):
         )
         log.info("warmup: compiled the artifact's static shape")
 
-    def _run_bucket(self, mixes):
+    def _dispatch_bucket(self, mixes):
         lens = [m.shape[-1] for m in mixes]
         n = self.sep.n_samples
-        real = len(mixes)
         rows = [
             np.pad(np.asarray(m, np.float32), ((0, 0), (0, n - m.shape[-1])))
             for m in mixes
@@ -229,9 +273,13 @@ class ArtifactEngine(_EngineBase):
         est = self.sep.call(
             seed, np.stack(rows), np.asarray(n_valid, np.int32)
         )
+        return est, mixes, lens
+
+    def _finalize_bucket(self, handle):
+        est, mixes, lens = handle
         est = np.asarray(jax.device_get(est))
         out = []
-        for j in range(real):
+        for j in range(len(mixes)):
             e = est[j : j + 1, :, : lens[j]]
             e = scale_output(np.asarray(mixes[j])[None], e)
             out.append(e[0])

@@ -216,20 +216,60 @@ class HTTPSeparationServer:
         for p in batch:
             b = -(-p.wav.shape[-1] // self.engine.bucket)
             groups.setdefault(b, []).append(p)
+        chunks = []
         for _, group in sorted(groups.items()):
             for off in range(0, len(group), self.engine.batch):
-                chunk = group[off : off + self.engine.batch]
-                try:
-                    ests = self.engine._run_bucket([p.wav for p in chunk])
-                    for p, est in zip(chunk, ests):
-                        p.est = est
-                except Exception as e:  # pragma: no cover - device faults
-                    log.exception("http: micro-batch failed")
-                    for p in chunk:
-                        p.error = f"{type(e).__name__}: {e}"
+                chunks.append(group[off : off + self.engine.batch])
+
+        def settle(chunk, run) -> None:
+            """Resolve one chunk's pendings from `run()`; failures stay
+            chunk-local (the reason the dispatch/finalize calls are inside
+            this one try)."""
+            try:
+                for p, est in zip(chunk, run()):
+                    p.est = est
+            except Exception as e:  # pragma: no cover - device faults
+                log.exception("http: micro-batch failed")
+                for p in chunk:
+                    p.error = f"{type(e).__name__}: {e}"
+            self.metrics.observe_run(len(chunk))
+            for p in chunk:
+                p.done.set()
+
+        dispatch = getattr(self.engine, "_dispatch_bucket", None)
+        if dispatch is None:  # engine exposes only the sync call
+            for chunk in chunks:
+                settle(chunk, lambda c=chunk: self.engine._run_bucket(
+                    [p.wav for p in c]
+                ))
+            return
+
+        # depth-1 pipeline: dispatch chunk k+1 before finalizing chunk k —
+        # the D2H transfer of k overlaps k+1's compute (see
+        # serve._EngineBase docstring for the measured win)
+        pending = None  # (chunk, handle)
+        for chunk in chunks:
+            try:
+                handle = dispatch([p.wav for p in chunk])
+            except Exception as e:
+                if pending is not None:
+                    settle(pending[0],
+                           lambda h=pending[1]: self.engine._finalize_bucket(h))
+                    pending = None
+                log.exception("http: micro-batch dispatch failed")
+                for p in chunk:
+                    p.error = f"{type(e).__name__}: {e}"
                 self.metrics.observe_run(len(chunk))
                 for p in chunk:
                     p.done.set()
+                continue
+            if pending is not None:
+                settle(pending[0],
+                       lambda h=pending[1]: self.engine._finalize_bucket(h))
+            pending = (chunk, handle)
+        if pending is not None:
+            settle(pending[0],
+                   lambda h=pending[1]: self.engine._finalize_bucket(h))
 
 
 def _make_handler(server: HTTPSeparationServer):

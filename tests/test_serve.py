@@ -115,6 +115,55 @@ def test_engine_normalizes_on_true_length():
     assert np.all(rows[0][:, 1600:] == 0)
 
 
+def test_engine_pipelines_depth1_and_isolates_finalize_errors(tmp_path):
+    """process() must dispatch micro-batch k+1 BEFORE finalizing k (the
+    depth-1 pipeline that overlaps the D2H transfer with the next batch's
+    compute), and a finalize failure must fail only its own chunk."""
+    from diffsep_tpu.cli.serve import _EngineBase
+    from diffsep_tpu.data.audio_io import save_wav as _save
+
+    events = []
+
+    class _PipelineProbe(_EngineBase):
+        fs, batch, bucket = 8000, 1, 800
+
+        def _dispatch_bucket(self, mixes):
+            events.append(("dispatch", len(events)))
+            return (len([e for e in events if e[0] == "dispatch"]), mixes)
+
+        def _finalize_bucket(self, handle):
+            k, mixes = handle
+            events.append(("finalize", k))
+            if k == 2:  # second chunk's device_get "fails"
+                raise RuntimeError("device fault")
+            return [np.zeros((2, m.shape[-1]), np.float32) for m in mixes]
+
+    paths = []
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        p = tmp_path / f"u{i}.wav"
+        _save(p, rng.standard_normal((1, 790)).astype(np.float32) * 0.1,
+              8000)
+        paths.append(p)
+    out = tmp_path / "out"
+    results = list(_PipelineProbe().process(paths, out))
+
+    # dispatch of chunk 2 precedes finalize of chunk 1, etc.
+    order = [e[0] for e in events]
+    assert order == [
+        "dispatch", "dispatch", "finalize", "dispatch", "finalize",
+        "finalize",
+    ]
+    by_path = {p: (ok, msg) for p, ok, msg in results}
+    assert by_path[paths[0]][0] and by_path[paths[2]][0]
+    ok1, msg1 = by_path[paths[1]]
+    assert not ok1 and "device fault" in msg1
+    # the surviving chunks really wrote their outputs
+    assert (out / "s0" / "u0.wav").exists()
+    assert (out / "s0" / "u2.wav").exists()
+    assert not (out / "s0" / "u1.wav").exists()
+
+
 def test_engine_write_errors_do_not_kill_serving(tiny_run, tmp_path):
     from diffsep_tpu.cli.loading import load_model
     from diffsep_tpu.cli.serve import SeparationEngine
