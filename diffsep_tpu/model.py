@@ -16,6 +16,7 @@ from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 @partial(
@@ -219,13 +220,46 @@ class DiffSepModel:
     # --- parameter / state management ---
     def init_params(self, key: jax.Array, example_mix: Array, example_tgt: Array):
         t = jnp.full((example_mix.shape[0],), 0.5)
-        # jit the init: eager initialization dispatches thousands of single
-        # ops to the device (minutes over a remote TPU link); one compiled
-        # program initializes in seconds
-        variables = jax.jit(self.score_model.init)(
-            key, example_tgt, t, example_mix
-        )
-        return variables["params"]
+
+        # jit the init (eager initialization dispatches thousands of single
+        # ops — minutes over a remote TPU link), but have the compiled
+        # program return ONE flat vector per dtype instead of the ~500-leaf
+        # param tree: the axon runtime charges ~0.3 s per OUTPUT buffer on
+        # an executable's first call (measured: a trivial 500-output program
+        # costs 150 s on call 1, 0.5 s on call 2 — pure runtime overhead,
+        # re-paid by every process, invisible to the compilation cache),
+        # while device_put of 500 host arrays costs ~0.5 s.  So: flat out,
+        # split on host, device_put the tree back.  Values are identical —
+        # same program, concatenated.
+        def _init(k):
+            return self.score_model.init(k, example_tgt, t, example_mix)[
+                "params"
+            ]
+
+        abstract = jax.eval_shape(_init, key)
+        leaves, treedef = jax.tree_util.tree_flatten(abstract)
+        dtypes = sorted({str(l.dtype) for l in leaves})
+
+        def _init_flat(k):
+            flat = jax.tree_util.tree_leaves(_init(k))
+            return {
+                d: jnp.concatenate(
+                    [jnp.ravel(l) for l in flat if str(l.dtype) == d]
+                )
+                for d in dtypes
+            }
+
+        host = {
+            d: np.asarray(v)
+            for d, v in jax.device_get(jax.jit(_init_flat)(key)).items()
+        }
+        offs = {d: 0 for d in dtypes}
+        out = []
+        for l in leaves:
+            d, n = str(l.dtype), int(np.prod(l.shape, dtype=np.int64))
+            out.append(host[d][offs[d]:offs[d] + n].reshape(l.shape))
+            offs[d] += n
+        return jax.device_put(jax.tree_util.tree_unflatten(treedef, out))
 
     def init_state(self, key, example_mix, example_tgt):
         params = self.init_params(key, example_mix, example_tgt)
