@@ -120,6 +120,30 @@ def _measure_windows(run_one, batch, n_windows, iters_per_window, label):
     return float(np.median(vals))
 
 
+def _measure_pipelined(dispatch, batch, n_windows, iters_per_window, label):
+    """Depth-1 pipelined throughput: batch k+1 is dispatched before batch
+    k's device_get, overlapping the ~38 MB/s axon-tunnel D2H transfer with
+    the next batch's compute — exactly how cli/serve.py runs (e352a53).
+    Requires iters_per_window >= 2: with a single iteration the overlap
+    benefit lands outside the timed window."""
+    vals, seed = [], 1001
+    for _ in range(n_windows):
+        pending = dispatch(seed)
+        seed += 1
+        t0 = time.perf_counter()
+        for _ in range(iters_per_window):
+            nxt = dispatch(seed)
+            seed += 1
+            sync(pending)
+            pending = nxt
+        vals.append(
+            batch * iters_per_window / (time.perf_counter() - t0)
+        )
+        sync(pending)
+    log(f"{label} pipelined windows: " + " ".join(f"{v:.3f}" for v in vals))
+    return float(np.median(vals))
+
+
 def bench_fused(model, params, mix, n_windows=3):
     """TPU-native: whole PC reverse process in one jit'd scan, batched."""
     est, _ = model.separate(params, jax.random.PRNGKey(0), mix)
@@ -131,6 +155,22 @@ def bench_fused(model, params, mix, n_windows=3):
         sync(est)
 
     return _measure_windows(run_one, mix.shape[0], n_windows, 1, "fused")
+
+
+def bench_fused_pipelined(model, params, mix, n_windows=2,
+                          iters_per_window=2):
+    """Graded N=30 path under the serving engines' depth-1 pipelining
+    (VERDICT r4 item 4): the sequential number stays the graded `value`
+    for series continuity; this reports what the D2H overlap recovers
+    (~3% expected at N=30, where the transfer is a small fraction of a
+    ~14 s step)."""
+    def dispatch(seed):
+        est, _ = model.separate(params, jax.random.PRNGKey(seed), mix)
+        return est
+
+    return _measure_pipelined(
+        dispatch, mix.shape[0], n_windows, iters_per_window, "fused"
+    )
 
 
 def bench_ddim(model, params, mix, n_windows=4, iters_per_window=4, N=6,
@@ -169,23 +209,10 @@ def bench_ddim(model, params, mix, n_windows=4, iters_per_window=4, N=6,
         est, _ = model.separate(params, jax.random.PRNGKey(seed), mix, **kw)
         return est
 
-    vals, seed = [], 1001
-    for _ in range(n_windows):
-        pending = dispatch(seed)
-        seed += 1
-        t0 = time.perf_counter()
-        for _ in range(iters_per_window):
-            nxt = dispatch(seed)
-            seed += 1
-            sync(pending)
-            pending = nxt
-        vals.append(
-            mix.shape[0] * iters_per_window / (time.perf_counter() - t0)
-        )
-        sync(pending)
-    log(f"ddim-N{N} pipelined windows: "
-        + " ".join(f"{v:.3f}" for v in vals))
-    return seq, float(np.median(vals))
+    pipe = _measure_pipelined(
+        dispatch, mix.shape[0], n_windows, iters_per_window, f"ddim-N{N}"
+    )
+    return seq, pipe
 
 
 def bench_reference_style(model, params, mix):
@@ -304,10 +331,46 @@ def _load_distill_sweep():
                 }
             except Exception:
                 pass
+            try:
+                # enhancement-recipe distillation record (VERDICT r4 item
+                # 6): teacher PESQ/SI-SDR vs distilled students on model=nr
+                # (scripts/distill_demo_nr.py)
+                npath = os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "scripts", "distill_demo_nr_result.json")
+                with open(npath) as f:
+                    nrec = json.load(f)
+                keep["nr"] = {
+                    k: v for k, v in nrec.items()
+                    if (k.startswith("si_sdr_") or k.startswith("pesq_"))
+                    and isinstance(v, (int, float))
+                }
+            except Exception:
+                pass
             return keep
     except Exception as e:  # pragma: no cover - diagnostics only
         log(f"distill sweep unavailable ({e})")
     return None
+
+
+def _load_seed_spread():
+    """Multi-seed error bars (VERDICT r4 item 2): mean/min/max/spread of
+    every demo quality metric over >=3 training seeds, written by
+    scripts/seed_spread.py. File read only — the sweeps are training
+    jobs, never run here."""
+    out = {}
+    here = os.path.dirname(os.path.abspath(__file__))
+    for name, path in (
+        ("train", os.path.join(here, "scripts", "train_demo_spread.json")),
+        ("distill_log",
+         os.path.join(here, "scripts", "distill_demo_log_spread.json")),
+    ):
+        try:
+            with open(path) as f:
+                out[name] = json.load(f)
+        except Exception:
+            pass
+    return out or None
 
 
 def main():
@@ -334,6 +397,14 @@ def main():
             for line in proc.stdout.splitlines():
                 if line.startswith("REF_RESULT "):
                     ref, ref_source = float(line.split()[1]), "measured_live"
+            if ref_source == "measured_live" and (
+                abs(ref - RECORDED_REF) / RECORDED_REF > 0.10
+            ):
+                # chip/driver/runtime drift: the recorded constant is stale
+                log(
+                    f"WARNING: live baseline {ref:.3f} diverges >10% from "
+                    f"recorded {RECORDED_REF:.3f} — update RECORDED_REF"
+                )
         except Exception as e:
             log(f"reference-style subprocess failed ({e})")
     log(f"baseline: {ref:.3f} utt/s ({ref_source})")
@@ -362,34 +433,52 @@ def main():
     distill = _load_distill_sweep()
     if distill:
         result["quality_distill_demo"] = distill
+    spread = _load_seed_spread()
+    if spread:
+        result["quality_spread"] = spread
     # THE graded line — printed before any optional extras so a budget
     # kill during extras cannot lose the measurement.
     print(json.dumps(result), flush=True)
 
-    if elapsed() > BUDGET_S:
-        log(f"skipping extras (t={elapsed():.0f}s > budget {BUDGET_S:.0f}s)")
-        return
-    try:
+    # Extras: each gated on a PER-EXTRA remaining-time estimate (VERDICT r4
+    # item 1 — a single total-elapsed gate either skipped everything after
+    # one cold compile or let a long extra blow the budget).  Estimates are
+    # warm-cache wall times measured on this chip; a cold compile inside an
+    # extra only costs the LATER extras (the graded line is out already,
+    # and every extra re-prints a superset line).
+    def run_extra(name, est_s, fn):
+        if elapsed() + est_s > BUDGET_S:
+            log(f"skipping {name} (t={elapsed():.0f}s + ~{est_s:.0f}s "
+                f"> budget {BUDGET_S:.0f}s)")
+            return
+        try:
+            fn()
+            print(json.dumps(result), flush=True)  # superset re-print
+        except Exception as e:  # extras never take down the graded result
+            log(f"{name} extra failed ({e})")
+
+    def _n30_pipelined():
+        v = bench_fused_pipelined(model, params, mix)
+        log(f"fused pipelined: {v:.3f} utt/s")
+        result["N30_pipelined"] = round(v, 4)
+
+    def _ddim6():
         ddim, ddim_p = bench_ddim(model, params, mix_ddim)
         log(f"ddim N=6: {ddim:.3f} utt/s (pipelined {ddim_p:.3f})")
         result["ddim_N6_value"] = round(ddim, 4)
         result["ddim_N6_pipelined"] = round(ddim_p, 4)
-        print(json.dumps(result), flush=True)  # superset re-print
-    except Exception as e:  # extras must never take down the graded result
-        log(f"ddim extras failed ({e})")
-    if elapsed() > BUDGET_S:
-        log(f"skipping N=2 extra (t={elapsed():.0f}s)")
-        return
-    try:
+
+    def _ddim2_log():
         # the distilled serving point: DDIM N=2 on the log grid
         ddim2, ddim2_p = bench_ddim(model, params, mix_ddim, N=2,
                                     schedule="log")
         log(f"ddim N=2 (log): {ddim2:.3f} utt/s (pipelined {ddim2_p:.3f})")
         result["ddim_N2_log_value"] = round(ddim2, 4)
         result["ddim_N2_log_pipelined"] = round(ddim2_p, 4)
-        print(json.dumps(result), flush=True)  # superset re-print
-    except Exception as e:
-        log(f"ddim N=2 extra failed ({e})")
+
+    run_extra("N30_pipelined", 140, _n30_pipelined)
+    run_extra("ddim_N6", 120, _ddim6)
+    run_extra("ddim_N2_log", 60, _ddim2_log)
 
 
 if __name__ == "__main__":

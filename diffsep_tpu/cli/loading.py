@@ -61,23 +61,23 @@ def _config_from_hparams(hparams: dict) -> ConfigNode:
     return cfg
 
 
-def load_torch_checkpoint(
-    path: Path, use_ema: bool = True
-) -> Tuple[DiffSepModel, dict]:
+def _read_torch_checkpoint(path: Path):
+    """One torch.load + model build; weight conversion happens per tree."""
     import torch
 
     ckpt = torch.load(str(path), map_location="cpu", weights_only=False)
-    hp = ckpt.get("hyper_parameters", {})
-    cfg = _config_from_hparams(hp)
-    model = DiffSepModel(cfg)
+    cfg = _config_from_hparams(ckpt.get("hyper_parameters", {}))
+    return DiffSepModel(cfg), ckpt
 
-    state_dict = ckpt["state_dict"]
-    ema = ckpt.get("ema")
+
+def _convert_torch_params(ckpt: dict, use_ema: bool) -> dict:
     from ..models.convert import (
         convert_backbone_state_dict,
         convert_ema_backbone,
     )
 
+    state_dict = ckpt["state_dict"]
+    ema = ckpt.get("ema")
     if use_ema and ema is not None and "shadow_params" in ema:
         log.info("using EMA shadow weights from checkpoint")
         backbone = convert_ema_backbone(state_dict, ema["shadow_params"])
@@ -87,8 +87,14 @@ def load_torch_checkpoint(
         backbone = convert_backbone_state_dict(
             state_dict, prefix="score_model.backbone."
         )
-    params = {"backbone": backbone}
-    return model, params
+    return {"backbone": backbone}
+
+
+def load_torch_checkpoint(
+    path: Path, use_ema: bool = True
+) -> Tuple[DiffSepModel, dict]:
+    model, ckpt = _read_torch_checkpoint(path)
+    return model, _convert_torch_params(ckpt, use_ema)
 
 
 def load_pretrained_weights(ckpt: str | Path):
@@ -97,8 +103,9 @@ def load_pretrained_weights(ckpt: str | Path):
     would re-init and re-restore the full state per call)."""
     ckpt = Path(ckpt)
     if ckpt.is_file():
-        model, raw = load_torch_checkpoint(ckpt, use_ema=False)
-        _, ema = load_torch_checkpoint(ckpt, use_ema=True)
+        model, raw_ckpt = _read_torch_checkpoint(ckpt)
+        raw = _convert_torch_params(raw_ckpt, use_ema=False)
+        ema = _convert_torch_params(raw_ckpt, use_ema=True)
         return model, raw, ema
 
     run_dir, step = _resolve_run_dir(ckpt, None)

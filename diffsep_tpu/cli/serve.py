@@ -129,13 +129,21 @@ class _EngineBase:
         def finalize(chunk, handle, t0):
             """Per-chunk error isolation: a failed finalize (device fault)
             or write fails only its own chunk/file."""
+            t_fin = time.perf_counter()
             try:
                 ests = self._finalize_bucket(handle)
             except Exception as e:
                 for p, _ in chunk:
                     yield p, False, f"{type(e).__name__}: {e}"
                 return
-            dt = time.perf_counter() - t0
+            done = time.perf_counter()
+            # under the depth-1 pipeline, dispatch-to-complete includes the
+            # overlap window with the next chunk's dispatch — report it
+            # explicitly as pipeline latency so the per-file number is not
+            # mistaken for the pre-pipeline per-chunk compute time, which
+            # is what the finalize-wait measures
+            lat = done - t0
+            wait = done - t_fin
             for (p, _), est in zip(chunk, ests):
                 try:  # output I/O errors must not kill serving either
                     for src in range(est.shape[0]):
@@ -144,7 +152,10 @@ class _EngineBase:
                 except Exception as e:
                     yield p, False, f"write failed: {type(e).__name__}: {e}"
                     continue
-                yield p, True, f"{dt / len(chunk):.3f}s"
+                yield p, True, (
+                    f"pipeline latency {lat:.3f}s/{len(chunk)}-batch, "
+                    f"finalize wait {wait:.3f}s"
+                )
 
         # depth-1 pipeline: dispatch chunk k+1 before finalizing chunk k,
         # overlapping k's D2H transfer with k+1's compute (class docstring)

@@ -327,6 +327,32 @@ class DiffSepModel:
             distill_cfg,
         )
 
+    def _check_low_n_schedule(self, predictor_name, N, schedule):
+        """Warn on the measured low-NFE linear-grid pathology: DDIM-family
+        sampling at N<=2 on the default/linear time grid produces
+        garbage-quality output (demo task: -3.3 dB vs 17.1 dB on the log
+        grid at N=2 — BENCH_r04 quality_distill_demo), because the linear
+        2-point grid spends its single interior step at t where the
+        transport ratio is ill-conditioned.  The reference's scheduled
+        sampler (sdes/__init__.py:46-129) has the same trap, unguarded."""
+        n_eff = self.sde.N if N is None else int(N)
+        if (
+            predictor_name in ("ddim", "dpmpp")
+            and n_eff <= 2
+            and schedule in (None, "linear")
+        ):
+            import warnings
+
+            grid = "default linear" if schedule is None else "linear"
+            warnings.warn(
+                f"predictor '{predictor_name}' with N={n_eff} on the {grid} "
+                "time grid degenerates (measured -3.3 dB vs 17.1 dB on the "
+                "log grid at N=2); pass schedule='log' — and serve a "
+                "log-grid-distilled student (diffsep-distill) for best "
+                "low-NFE quality. See README 'Progressive distillation'.",
+                stacklevel=3,
+            )
+
     # --- inference (pl_model.py:148-164, 687-759) ---
     def separate(self, params, key, mix, **kwargs):
         kw = dict(
@@ -336,6 +362,9 @@ class DiffSepModel:
         )
         kw.update(self.sampler_kwargs)
         kw.update(kwargs)
+        self._check_low_n_schedule(
+            kw["predictor_name"], kw.get("N"), kw.get("schedule")
+        )
         (mix_n, _), mean, std = normalize_batch(mix, None)
         est, nfe = _jit_pc_sample(self, params, key, mix_n, **kw)
         return denormalize_batch(est, mean, std), nfe
@@ -356,6 +385,9 @@ class DiffSepModel:
         )
         kw.update(self.sampler_kwargs)
         kw.update(kwargs)
+        self._check_low_n_schedule(
+            kw["predictor_name"], kw.get("N"), kw.get("schedule")
+        )
         n_valid = jnp.clip(
             jnp.asarray(n_valid, jnp.int32), 1, mix.shape[-1]
         )
@@ -381,6 +413,7 @@ class DiffSepModel:
     ):
         """API parity with pl_model.py:687-759. `minibatch` chunks the batch
         (useful to bound memory on very long utterances)."""
+        self._check_low_n_schedule(predictor_name, N, schedule)
         key = key if key is not None else jax.random.PRNGKey(0)
         kwargs = {"eps": self.t_eps, **kwargs}
 

@@ -49,6 +49,13 @@ def main():
     ap.add_argument(
         "--out", default=str(Path(__file__).parent / "distill_demo_result.json")
     )
+    ap.add_argument(
+        "--seed", type=int, default=0,
+        help="drives teacher data/init/noise AND the distillation data "
+        "stream + distill noise keys (seed=0 reproduces the original "
+        "pinned run); the held-out eval set/key stay fixed across seeds "
+        "(scripts/seed_spread.py aggregates the spread)",
+    )
     args = ap.parse_args()
     stages = tuple(int(s) for s in args.stages.split(","))
 
@@ -72,7 +79,7 @@ def main():
     )
     model = DiffSepModel(cfg)
 
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(args.seed)
     fs, n, b = 8000, 8000, args.batch
     mix, tgt = make_batch(rng, b, n, fs)
     mix_j, tgt_j = jnp.asarray(mix), jnp.asarray(tgt)
@@ -92,8 +99,14 @@ def main():
         if meta["teacher_steps"] != args.teacher_steps:
             raise SystemExit(
                 f"{ckpt} holds a {meta['teacher_steps']}-step teacher but "
-                f"--teacher-steps is {args.teacher_steps}; delete the cache "
-                "or match the step count"
+                f"the teacher_steps argument is {args.teacher_steps}; "
+                "delete the cache or pass the matching step count as the "
+                "positional teacher_steps argument"
+            )
+        if meta.get("seed", 0) != args.seed:
+            raise SystemExit(
+                f"{ckpt} holds a seed={meta.get('seed', 0)} teacher but "
+                f"--seed is {args.seed}; delete the cache or match the seed"
             )
         template = model.init_state(jax.random.PRNGKey(0), mix_j, tgt_j)
         teacher = serialization.from_bytes(
@@ -103,10 +116,13 @@ def main():
         teacher_time = float(meta.get("teacher_train_time_s", 0.0))
         print(f"teacher loaded from {ckpt} ({meta})", flush=True)
     else:
-        state = model.init_state(jax.random.PRNGKey(0), mix_j, tgt_j)
+        # same (seed, PRNGKey(seed), PRNGKey(1000*seed+1)) scheme as
+        # scripts/train_demo.py --seed, so cached teachers interchange
+        state = model.init_state(jax.random.PRNGKey(args.seed), mix_j, tgt_j)
         sync(state.step)
         step_fn = jax.jit(
-            model.make_train_step(jax.random.PRNGKey(1)), donate_argnums=(0,)
+            model.make_train_step(jax.random.PRNGKey(1000 * args.seed + 1)),
+            donate_argnums=(0,),
         )
         t0 = time.perf_counter()
         for i in range(args.teacher_steps):
@@ -126,6 +142,7 @@ def main():
             ckpt.with_suffix(".json").write_text(json.dumps({
                 "teacher_steps": args.teacher_steps,
                 "teacher_train_time_s": round(teacher_time, 1),
+                "seed": args.seed,
             }))
             print(f"teacher saved to {ckpt}", flush=True)
 
@@ -141,6 +158,7 @@ def main():
 
     result = {
         "teacher_steps": args.teacher_steps,
+        "seed": args.seed,
         "teacher_train_time_s": round(teacher_time, 1),
         "distill_steps_per_stage": args.distill_steps,
         "stages": list(stages),
@@ -156,7 +174,7 @@ def main():
     print(json.dumps(result), flush=True)
 
     # --- progressive distillation ---
-    drng = np.random.default_rng(777)
+    drng = np.random.default_rng(777 + args.seed)
 
     def batch_fn(step):
         m, t = make_batch(drng, b, n, fs)
@@ -169,7 +187,7 @@ def main():
         batch_fn,
         stages=stages,
         steps_per_stage=args.distill_steps,
-        base_key=jax.random.PRNGKey(42),
+        base_key=jax.random.PRNGKey(42 + args.seed),
         log_every=250,
         schedule=args.schedule,
         on_policy_frac=args.on_policy_frac,

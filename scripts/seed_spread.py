@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Multi-seed error bars for every demo-scale quality claim (VERDICT r4
+item 2: the dpmpp-vs-ddim ranking FLIPPED between rounds 3 and 4 when the
+teacher went 3k->10k steps — direct evidence single-seed records sit
+within noise of each other, yet they drive default choices).
+
+Runs scripts/train_demo.py and scripts/distill_demo.py over >=3 seeds
+(each seed shifts the train-data stream, the param init AND the step
+noise; the held-out eval set and eval sampler key stay FIXED so the
+spread measures training variance on a common test protocol), then
+aggregates every numeric si_sdr_* metric into {mean, min, max, spread,
+values} records that bench.py embeds in the graded JSON line
+(quality_spread). Each seed's distillation reuses that seed's trained
+teacher via --save-ckpt/--teacher-ckpt, so the whole 3-seed sweep costs
+3 x (train + distill), not 3 x (2 x train + distill).
+
+Run (TPU, ~90 min at the default 10k/6000 scale):
+    python scripts/seed_spread.py [--seeds 0,1,2] [--train-steps 10000]
+        [--distill-steps 6000] [--skip-train] [--skip-distill]
+Writes scripts/train_demo_spread.json and
+scripts/distill_demo_log_spread.json (+ the per-seed records next to
+them) and prints the aggregate.
+"""
+import argparse
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+HERE = Path(__file__).resolve().parent
+
+
+def run(cmd):
+    print("+ " + " ".join(cmd), flush=True)
+    subprocess.run(cmd, check=True)
+
+
+def aggregate(records, keep_keys):
+    """Per-key {mean, min, max, spread, values} over the seed records.
+    spread = max - min: with 3 seeds a standard deviation would be noise
+    on noise; the full range is the honest claim-clearing yardstick."""
+    out = {"seeds": [r.get("seed") for r in records], "n_seeds": len(records)}
+    keys = sorted(
+        k
+        for k in records[0]
+        if keep_keys(k)
+        and all(isinstance(r.get(k), (int, float)) for r in records)
+    )
+    for k in keys:
+        vals = [float(r[k]) for r in records]
+        out[k] = {
+            "mean": round(sum(vals) / len(vals), 2),
+            "min": round(min(vals), 2),
+            "max": round(max(vals), 2),
+            "spread": round(max(vals) - min(vals), 2),
+            "values": [round(v, 2) for v in vals],
+        }
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seeds", default="0,1,2")
+    ap.add_argument("--train-steps", type=int, default=10000)
+    ap.add_argument("--distill-steps", type=int, default=6000)
+    ap.add_argument("--stages", default="2,1")
+    ap.add_argument("--schedule", default="log")
+    ap.add_argument("--skip-train", action="store_true",
+                    help="aggregate existing per-seed train records only")
+    ap.add_argument("--skip-distill", action="store_true")
+    ap.add_argument("--ckpt-dir", default="/tmp/seed_spread")
+    args = ap.parse_args()
+    seeds = [int(s) for s in args.seeds.split(",")]
+    ckpt_dir = Path(args.ckpt_dir)
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+
+    train_recs, distill_recs = [], []
+    for s in seeds:
+        train_out = HERE / f"train_demo_seed{s}.json"
+        ckpt = ckpt_dir / f"teacher_seed{s}.msgpack"
+        if not args.skip_train and not train_out.exists():
+            run([
+                sys.executable, str(HERE / "train_demo.py"),
+                str(args.train_steps), "--seed", str(s),
+                "--out", str(train_out), "--save-ckpt", str(ckpt),
+            ])
+        if train_out.exists():
+            train_recs.append(json.loads(train_out.read_text()))
+
+        distill_out = HERE / f"distill_demo_{args.schedule}_seed{s}.json"
+        if not args.skip_distill and not distill_out.exists():
+            cmd = [
+                sys.executable, str(HERE / "distill_demo.py"),
+                str(args.train_steps), "--seed", str(s),
+                "--distill-steps", str(args.distill_steps),
+                "--stages", args.stages, "--schedule", args.schedule,
+                "--out", str(distill_out),
+            ]
+            if ckpt.exists():
+                cmd += ["--teacher-ckpt", str(ckpt)]
+            run(cmd)
+        if distill_out.exists():
+            distill_recs.append(json.loads(distill_out.read_text()))
+
+    keep = lambda k: k.startswith("si_sdr_")  # noqa: E731
+    if train_recs:
+        agg = aggregate(train_recs, keep)
+        agg["train_steps"] = args.train_steps
+        (HERE / "train_demo_spread.json").write_text(
+            json.dumps(agg, indent=2)
+        )
+        print(json.dumps(agg), flush=True)
+    if distill_recs:
+        agg = aggregate(distill_recs, keep)
+        agg["distill_steps_per_stage"] = args.distill_steps
+        agg["schedule"] = args.schedule
+        (HERE / f"distill_demo_{args.schedule}_spread.json").write_text(
+            json.dumps(agg, indent=2)
+        )
+        print(json.dumps(agg), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -53,6 +53,21 @@ def main():
                     choices=["bfloat16", "float32"])
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--out", default="/tmp/train_demo_result.json")
+    ap.add_argument(
+        "--seed", type=int, default=0,
+        help="training seed: drives the train-data stream, the param init "
+        "AND the per-step diffusion noise (seed=0 reproduces the original "
+        "pinned run); the held-out eval set and eval sampler key stay "
+        "FIXED across seeds so the spread of the reported metrics "
+        "measures training variance on a common test protocol "
+        "(scripts/seed_spread.py aggregates)",
+    )
+    ap.add_argument(
+        "--save-ckpt", default=None,
+        help="msgpack path: save the trained EMA params + a provenance "
+        "sidecar in the format scripts/distill_demo.py --teacher-ckpt "
+        "expects, so per-seed distillation reuses this run's teacher",
+    )
     args = ap.parse_args()
     steps = args.steps
     from diffsep_tpu.config import compose
@@ -74,7 +89,9 @@ def main():
     )
     model = DiffSepModel(cfg)
 
-    rng = np.random.default_rng(0)
+    # seed=0 keeps the exact (0, PRNGKey(0), PRNGKey(1)) triple of the
+    # original pinned runs; other seeds shift data + init + train noise
+    rng = np.random.default_rng(args.seed)
     fs, n, b = 8000, 8000, 16
     mix, tgt = make_batch(rng, b, n, fs)
     mix_j, tgt_j = jnp.asarray(mix), jnp.asarray(tgt)
@@ -82,9 +99,12 @@ def main():
     def sync(x):
         return np.asarray(jax.device_get(x))
 
-    state = model.init_state(jax.random.PRNGKey(0), mix_j, tgt_j)
+    state = model.init_state(jax.random.PRNGKey(args.seed), mix_j, tgt_j)
     sync(state.step)
-    step_fn = jax.jit(model.make_train_step(jax.random.PRNGKey(1)), donate_argnums=(0,))
+    step_fn = jax.jit(
+        model.make_train_step(jax.random.PRNGKey(1000 * args.seed + 1)),
+        donate_argnums=(0,),
+    )
 
     t0 = time.perf_counter()
     loss0 = None
@@ -135,6 +155,7 @@ def main():
     )
     result = {
         "steps": steps,
+        "seed": args.seed,
         "dtype": args.dtype,
         "remat": bool(args.remat),
         "loss_curve_every100": curve,
@@ -150,6 +171,21 @@ def main():
     print(json.dumps(result), flush=True)
     with open(args.out, "w") as f:
         json.dump(result, f, indent=2)
+
+    if args.save_ckpt:
+        from flax import serialization
+
+        ckpt = Path(args.save_ckpt)
+        ckpt.write_bytes(
+            serialization.to_bytes(jax.device_get(state.ema.params))
+        )
+        # provenance sidecar in distill_demo.py --teacher-ckpt's format
+        ckpt.with_suffix(".json").write_text(json.dumps({
+            "teacher_steps": steps,
+            "teacher_train_time_s": round(train_time, 1),
+            "seed": args.seed,
+        }))
+        print(f"teacher saved to {ckpt}", flush=True)
 
 
 if __name__ == "__main__":
