@@ -48,6 +48,7 @@ SLOW_MODULES = {
     "test_blockwise_attention",               # ~31 s
     "test_load_pretrained",                   # ~170 s (3 fit() runs)
     "test_evaluate_cli_reference_parity",     # ~50 s (incl. enhance mode)
+    "test_init_invariance",                   # ~90 s (4 tiny-model inits)
 }
 
 
