@@ -97,6 +97,31 @@ from .train.trainer import (
 Array = jax.Array
 
 
+def _warn_low_n_schedule(sde, predictor_name, N, schedule):
+    """Measured low-NFE linear-grid pathology guard (see
+    DiffSepModel._check_low_n_schedule for the rationale).  Module-level so
+    duck-typed models that reuse DiffSepModel.separate unbound (only the
+    {sde, t_eps, sampler_kwargs, score_apply} contract) hit the guard
+    without needing the method."""
+    n_eff = sde.N if N is None else int(N)
+    if (
+        predictor_name in ("ddim", "dpmpp")
+        and n_eff <= 2
+        and schedule in (None, "linear")
+    ):
+        import warnings
+
+        grid = "default linear" if schedule is None else "linear"
+        warnings.warn(
+            f"predictor '{predictor_name}' with N={n_eff} on the {grid} "
+            "time grid degenerates (measured -3.3 dB vs 17.1 dB on the "
+            "log grid at N=2); pass schedule='log' — and serve a "
+            "log-grid-distilled student (diffsep-distill) for best "
+            "low-NFE quality. See README 'Progressive distillation'.",
+            stacklevel=3,
+        )
+
+
 def _tupled(v):
     return tuple(v) if isinstance(v, (list, tuple)) else v
 
@@ -363,24 +388,14 @@ class DiffSepModel:
         grid at N=2 — BENCH_r04 quality_distill_demo), because the linear
         2-point grid spends its single interior step at t where the
         transport ratio is ill-conditioned.  The reference's scheduled
-        sampler (sdes/__init__.py:46-129) has the same trap, unguarded."""
-        n_eff = self.sde.N if N is None else int(N)
-        if (
-            predictor_name in ("ddim", "dpmpp")
-            and n_eff <= 2
-            and schedule in (None, "linear")
-        ):
-            import warnings
+        sampler (sdes/__init__.py:46-129) has the same trap, unguarded.
 
-            grid = "default linear" if schedule is None else "linear"
-            warnings.warn(
-                f"predictor '{predictor_name}' with N={n_eff} on the {grid} "
-                "time grid degenerates (measured -3.3 dB vs 17.1 dB on the "
-                "log grid at N=2); pass schedule='log' — and serve a "
-                "log-grid-distilled student (diffsep-distill) for best "
-                "low-NFE quality. See README 'Progressive distillation'.",
-                stacklevel=3,
-            )
+        Note for duck-typed callers: separate()/get_pc_sampler() only
+        require the {sde, t_eps, sampler_kwargs, score_apply} contract
+        (tests/test_parallel.py builds such a model), so the guard is
+        routed through ``_warn_low_n_schedule`` by explicit module-level
+        call, not attribute lookup on ``self``."""
+        _warn_low_n_schedule(self.sde, predictor_name, N, schedule)
 
     # --- inference (pl_model.py:148-164, 687-759) ---
     def separate(self, params, key, mix, **kwargs):
@@ -391,8 +406,8 @@ class DiffSepModel:
         )
         kw.update(self.sampler_kwargs)
         kw.update(kwargs)
-        self._check_low_n_schedule(
-            kw["predictor_name"], kw.get("N"), kw.get("schedule")
+        _warn_low_n_schedule(
+            self.sde, kw["predictor_name"], kw.get("N"), kw.get("schedule")
         )
         (mix_n, _), mean, std = normalize_batch(mix, None)
         est, nfe = _jit_pc_sample(self, params, key, mix_n, **kw)
@@ -414,8 +429,8 @@ class DiffSepModel:
         )
         kw.update(self.sampler_kwargs)
         kw.update(kwargs)
-        self._check_low_n_schedule(
-            kw["predictor_name"], kw.get("N"), kw.get("schedule")
+        _warn_low_n_schedule(
+            self.sde, kw["predictor_name"], kw.get("N"), kw.get("schedule")
         )
         n_valid = jnp.clip(
             jnp.asarray(n_valid, jnp.int32), 1, mix.shape[-1]
@@ -442,7 +457,7 @@ class DiffSepModel:
     ):
         """API parity with pl_model.py:687-759. `minibatch` chunks the batch
         (useful to bound memory on very long utterances)."""
-        self._check_low_n_schedule(predictor_name, N, schedule)
+        _warn_low_n_schedule(self.sde, predictor_name, N, schedule)
         key = key if key is not None else jax.random.PRNGKey(0)
         kwargs = {"eps": self.t_eps, **kwargs}
 
