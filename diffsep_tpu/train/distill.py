@@ -346,6 +346,7 @@ def progressive_distill(
     base_key: Optional[jax.Array] = None,
     teacher_substeps: int = 2,
     log_every: int = 0,
+    stage_cache_dir: Optional[str] = None,
     **cfg_kwargs: Any,
 ):
     """Run the halving schedule: each stage distills an N-step student from
@@ -354,10 +355,42 @@ def progressive_distill(
 
     `batch_fn(step)` supplies (mix, target) — a callable rather than an
     iterator so callers can regenerate/synthesize per step.
+
+    `stage_cache_dir` makes the schedule RESUMABLE: each finished stage's
+    EMA params are saved as `stage{i}_N{n}.msgpack` there and a rerun loads
+    them instead of re-training the stage.  The caller owns cache keying —
+    pass a directory that encodes everything the stage depends on (teacher
+    identity/seed/schedule/steps), because a stale file is loaded blindly.
+    Motivation: on the axon remote-TPU tunnel, transient blips can wedge
+    the client mid-run (observed repeatedly, round 5); per-stage caching
+    bounds what a kill-and-relaunch loses to one stage.
     """
     base_key = base_key if base_key is not None else jax.random.PRNGKey(0)
     out = {}
+    cache_dir = None
+    if stage_cache_dir is not None:
+        from pathlib import Path
+
+        cache_dir = Path(stage_cache_dir)
+        cache_dir.mkdir(parents=True, exist_ok=True)
     for si, n in enumerate(stages):
+        cache = (
+            cache_dir / f"stage{si}_N{int(n)}.msgpack"
+            if cache_dir is not None
+            else None
+        )
+        if cache is not None and cache.exists():
+            from flax import serialization
+
+            teacher_params = jax.device_put(serialization.from_bytes(
+                jax.device_get(teacher_params), cache.read_bytes()
+            ))
+            out[int(n)] = teacher_params
+            print(
+                f"[distill N={n}] stage loaded from cache {cache}",
+                flush=True,
+            )
+            continue
         cfg = DistillConfig(
             n_student=int(n),
             t_eps=model.t_eps,
@@ -389,4 +422,10 @@ def progressive_distill(
                 )
         teacher_params = state.ema.params
         out[int(n)] = teacher_params
+        if cache is not None:
+            from flax import serialization
+
+            cache.write_bytes(
+                serialization.to_bytes(jax.device_get(teacher_params))
+            )
     return out

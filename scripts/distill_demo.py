@@ -42,6 +42,13 @@ def main():
     ap.add_argument("--on-policy-frac", type=float, default=0.0)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument(
+        "--stage-cache-dir", default=None,
+        help="resumable distillation: each finished stage's EMA params are "
+        "cached here and a rerun skips them (pass a dir that encodes "
+        "teacher/seed/schedule/steps — stale files are loaded blindly); "
+        "bounds what an axon-tunnel wedge + watchdog relaunch loses",
+    )
+    ap.add_argument(
         "--teacher-ckpt", default=None,
         help="msgpack path: load the teacher from it if it exists, else "
         "train and save — lets grid/on-policy variants share one teacher",
@@ -191,6 +198,7 @@ def main():
         log_every=250,
         schedule=args.schedule,
         on_policy_frac=args.on_policy_frac,
+        stage_cache_dir=args.stage_cache_dir,
     )
     result["distill_time_s"] = round(time.perf_counter() - t0, 1)
 

@@ -54,6 +54,12 @@ def main():
         "scripts/distill_demo.py)",
     )
     ap.add_argument(
+        "--stage-cache-dir", default=None,
+        help="resumable distillation: finished stages' EMA params cached "
+        "here and skipped on rerun (key the dir by teacher/seed/schedule/"
+        "steps); bounds what a tunnel wedge + relaunch loses",
+    )
+    ap.add_argument(
         "--out",
         default=str(Path(__file__).parent / "distill_demo_nr_result.json"),
     )
@@ -202,6 +208,7 @@ def main():
         base_key=jax.random.PRNGKey(42 + args.seed),
         log_every=250,
         schedule=schedule,
+        stage_cache_dir=args.stage_cache_dir,
     )
     result["distill_time_s"] = round(time.perf_counter() - t0, 1)
 

@@ -34,7 +34,11 @@ def main():
     ap.add_argument("--n", type=int, default=6, help="iters per mode")
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--points", default="2:log,6:none",
-                    help="comma list of N:schedule operating points")
+                    help="comma list of N:schedule[:pc] operating points — "
+                    "the optional third field 'pc' uses the graded "
+                    "reverse_diffusion/ald2 sampler instead of ddim/none "
+                    "(e.g. 30:none:pc re-checks the N=30 peak batch under "
+                    "pipelining, VERDICT r4 item 4)")
     args = ap.parse_args()
 
     from diffsep_tpu.config import compose
@@ -56,11 +60,17 @@ def main():
 
     out = {}
     for point in args.points.split(","):
-        n_str, sched = point.split(":")
+        fields = point.split(":")
+        n_str, sched = fields[0], fields[1]
+        pc = len(fields) > 2 and fields[2] == "pc"
         N = int(n_str)
         schedule = None if sched == "none" else sched
-        kw = dict(predictor_name="ddim", corrector_name="none", N=N,
-                  schedule=schedule)
+        if pc:
+            kw = dict(predictor_name="reverse_diffusion",
+                      corrector_name="ald2", N=N, schedule=schedule)
+        else:
+            kw = dict(predictor_name="ddim", corrector_name="none", N=N,
+                      schedule=schedule)
 
         def run(seed):
             est, _ = model.separate(params, jax.random.PRNGKey(seed), mix,
@@ -93,7 +103,7 @@ def main():
             np.asarray(jax.device_get(run(300 + i).sum()))
         dev = args.batch * args.n / (time.perf_counter() - t0)
 
-        key = f"ddim_N{N}_{sched}"
+        key = f"{'pc' if pc else 'ddim'}_N{N}_{sched}_b{args.batch}"
         out[key] = {
             "sequential_utt_s": round(seq, 2),
             "pipelined_utt_s": round(pipe, 2),

@@ -89,11 +89,19 @@ def main():
 
         distill_out = HERE / f"distill_demo_{args.schedule}_seed{s}.json"
         if not args.skip_distill and not distill_out.exists():
+            # stage cache keyed by everything the stages depend on, so a
+            # watchdog relaunch after a tunnel wedge redoes at most the
+            # stage that was interrupted
+            cache_key = (
+                f"distill_{args.schedule}_s{s}_t{args.train_steps}"
+                f"_d{args.distill_steps}_st{args.stages.replace(',', '-')}"
+            )
             cmd = [
                 sys.executable, str(HERE / "distill_demo.py"),
                 str(args.train_steps), "--seed", str(s),
                 "--distill-steps", str(args.distill_steps),
                 "--stages", args.stages, "--schedule", args.schedule,
+                "--stage-cache-dir", str(ckpt_dir / cache_key),
                 "--out", str(distill_out),
             ]
             if ckpt.exists():

@@ -372,3 +372,45 @@ def test_distill_step_dp_matches_replicated(tiny_model):
     flat_dp = jax.tree_util.tree_leaves(jax.device_get(s_dp.params))
     for a, b in zip(flat_rep, flat_dp):
         np.testing.assert_allclose(b, a, rtol=5e-4, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_progressive_distill_stage_cache_resumes(tiny_model, tmp_path):
+    """stage_cache_dir makes the halving schedule resumable: a rerun loads
+    each finished stage's EMA params instead of re-training (the batch_fn
+    of the rerun would raise if any stage actually trained), and returns
+    trees identical to the first run's. Motivation: axon-tunnel wedges +
+    watchdog relaunches must lose at most one stage."""
+    model, params, mix, tgt = tiny_model
+    cache = tmp_path / "stages"
+    out1 = progressive_distill(
+        model,
+        params,
+        lambda step: (mix, tgt),
+        stages=(2, 1),
+        steps_per_stage=2,
+        base_key=jax.random.PRNGKey(11),
+        stage_cache_dir=str(cache),
+    )
+    assert sorted(p.name for p in cache.iterdir()) == [
+        "stage0_N2.msgpack", "stage1_N1.msgpack",
+    ]
+
+    def boom(step):
+        raise AssertionError("cached stage must not re-train")
+
+    out2 = progressive_distill(
+        model,
+        params,
+        boom,
+        stages=(2, 1),
+        steps_per_stage=2,
+        base_key=jax.random.PRNGKey(11),
+        stage_cache_dir=str(cache),
+    )
+    assert set(out2) == set(out1) == {2, 1}
+    for n in out1:
+        a = jax.tree_util.tree_leaves(jax.device_get(out1[n]))
+        b = jax.tree_util.tree_leaves(jax.device_get(out2[n]))
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x, y)
