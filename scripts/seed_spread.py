@@ -35,6 +35,61 @@ def run(cmd):
     subprocess.run(cmd, check=True)
 
 
+def add_derived_deltas(rec):
+    """Claims are about DIFFERENCES (dpmpp vs ddim at a budget, student vs
+    teacher at a serving N), and differences within one seed share that
+    seed's training noise — so the honest error bar for a claim is the
+    spread of the per-seed delta, not of the two endpoints.  Derived keys
+    start with si_sdr_ so aggregate() picks them up automatically."""
+    out = dict(rec)
+    for n in (4, 6, 8):
+        a, b = f"si_sdr_dpmpp_n{n}_db", f"si_sdr_ddim_n{n}_db"
+        if a in rec and b in rec:
+            out[f"si_sdr_delta_dpmpp_minus_ddim_n{n}_db"] = round(
+                rec[a] - rec[b], 2
+            )
+    for n in (1, 2, 4, 8):
+        a, b = f"si_sdr_student_ddim_n{n}_db", f"si_sdr_teacher_ddim_n{n}_db"
+        if a in rec and b in rec:
+            out[f"si_sdr_delta_distill_gain_n{n}_db"] = round(
+                rec[a] - rec[b], 2
+            )
+    return out
+
+
+def rerun_vs_pinned(rerun_path, pinned_path):
+    """Same-seed reproducibility block: the seed-0 rerun of this round vs
+    the committed pinned record (identical seeds/data/keys; programs were
+    recompiled under the current libtpu).  The max |delta| bounds what a
+    'same seed' claim is worth — measured this round: up to ~1.5 dB at
+    ddim N=4 on identical seeds."""
+    try:
+        rerun = json.loads(Path(rerun_path).read_text())
+        pinned = json.loads(Path(pinned_path).read_text())
+    except Exception:
+        return None
+    keys = sorted(
+        k for k in rerun
+        if k.startswith("si_sdr_")
+        and isinstance(rerun.get(k), (int, float))
+        and isinstance(pinned.get(k), (int, float))
+    )
+    if not keys:
+        return None
+    block = {
+        k: {
+            "rerun": rerun[k],
+            "pinned": pinned[k],
+            "delta": round(rerun[k] - pinned[k], 2),
+        }
+        for k in keys
+    }
+    block["max_abs_delta_db"] = max(
+        abs(block[k]["delta"]) for k in keys
+    )
+    return block
+
+
 def aggregate(records, keep_keys):
     """Per-key {mean, min, max, spread, values} over the seed records.
     spread = max - min: with 3 seeds a standard deviation would be noise
@@ -112,16 +167,27 @@ def main():
 
     keep = lambda k: k.startswith("si_sdr_")  # noqa: E731
     if train_recs:
-        agg = aggregate(train_recs, keep)
+        agg = aggregate([add_derived_deltas(r) for r in train_recs], keep)
         agg["train_steps"] = args.train_steps
+        rvp = rerun_vs_pinned(
+            HERE / "train_demo_seed0.json", HERE / "train_demo_result.json"
+        )
+        if rvp:
+            agg["seed0_rerun_vs_pinned"] = rvp
         (HERE / "train_demo_spread.json").write_text(
             json.dumps(agg, indent=2)
         )
         print(json.dumps(agg), flush=True)
     if distill_recs:
-        agg = aggregate(distill_recs, keep)
+        agg = aggregate([add_derived_deltas(r) for r in distill_recs], keep)
         agg["distill_steps_per_stage"] = args.distill_steps
         agg["schedule"] = args.schedule
+        rvp = rerun_vs_pinned(
+            HERE / f"distill_demo_{args.schedule}_seed0.json",
+            HERE / f"distill_demo_{args.schedule}_result.json",
+        )
+        if rvp:
+            agg["seed0_rerun_vs_pinned"] = rvp
         (HERE / f"distill_demo_{args.schedule}_spread.json").write_text(
             json.dumps(agg, indent=2)
         )
