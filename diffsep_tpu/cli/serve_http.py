@@ -129,8 +129,19 @@ class HTTPSeparationServer:
             target=self._worker_loop, name="diffsep-batcher", daemon=True
         )
         handler = _make_handler(self)
-        self._httpd = ThreadingHTTPServer((host, port), handler)
-        self._httpd.daemon_threads = True
+
+        class _Server(ThreadingHTTPServer):
+            daemon_threads = True
+            # listen backlog: the http.server default of 5 drops the final
+            # handshake ACK under a connect burst (>5 simultaneous clients)
+            # and the kernel answers the client's first write with RST —
+            # measured in scripts/serve_soak.py at 16 concurrent clients as
+            # client-side 'Connection reset by peer' with a clean server
+            # (2/192 requests). Size it to the request queue: anything the
+            # server is willing to hold in flight it must also accept.
+            request_queue_size = max(128, max_queue)
+
+        self._httpd = _Server((host, port), handler)
         self._serve_thread: threading.Thread | None = None
         self._listening = False  # BaseServer.shutdown() deadlocks unless
         # serve_forever() is actually running; track it ourselves
